@@ -1,0 +1,228 @@
+"""High-level rendering API: TPU equivalents of the reference's
+exp_bunny/rendering.py entry points.
+
+  render_transient        <- forwardRendering / renderStreamedTransient
+                             (rendering.py:280-297, renderer.pyx:173-187)
+  render_intensity        <- removeTriangle's intensity pass
+                             (renderer.pyx:189-200)
+  inverse_render          <- inverseRendering / renderStreamedGradient
+                             (rendering.py:252-269, renderer.pyx:92-111)
+  inverse_render_albedo   <- inverseRenderingAlbedo (rendering.py:241-250)
+  inverse_render_alpha    <- inverseRenderingAlpha  (rendering.py:232-238)
+  vertex_gradient_bins    <- vertex_gradient (rendering.py:26-30)
+
+All functions are jitted with cfg/spt static; sources are processed in
+chunks of cfg.source_chunk (memory knob) via lax.map.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..geometry.mesh import Mesh
+from .core import (
+    backward_albedo_chunk,
+    backward_alpha_chunk,
+    backward_chunk,
+    forward_chunk,
+    intensity_chunk,
+    trace_chunk,
+    vertex_gradient_bins_chunk,
+)
+from .kernels import smooth_and_coarsen
+
+
+def pathlengths(cfg: RenderConfig) -> jnp.ndarray:
+    return cfg.bin_lower + jnp.arange(cfg.num_bins) * cfg.distance_resolution
+
+
+def _chunks(lighting, lighting_normal, cfg: RenderConfig):
+    """Reshape sources into [nc, Lc, 3] with zero-normal padding (padded
+    sources contribute exactly zero)."""
+    L = lighting.shape[0]
+    Lc = cfg.source_chunk if cfg.source_chunk > 0 else L
+    Lc = min(Lc, L)
+    nc = math.ceil(L / Lc)
+    pad = nc * Lc - L
+    if pad:
+        lighting = jnp.pad(lighting, ((0, pad), (0, 0)))
+        lighting_normal = jnp.pad(lighting_normal, ((0, pad), (0, 0)))
+    return (
+        lighting.reshape(nc, Lc, 3),
+        lighting_normal.reshape(nc, Lc, 3),
+        L,
+        Lc,
+        nc,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt", "refine"))
+def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
+                           alpha, cfg: RenderConfig, spt: int, refine: int):
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+
+    def one(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+
+    offsets = jnp.arange(nc) * Lc
+    fine = jax.lax.map(one, (lit, nrm, offsets))  # [nc, Lc, B*refine]
+    fine = fine.reshape(nc * Lc, cfg.num_bins * refine)[:L]
+    return smooth_and_coarsen(fine, cfg.distance_resolution, refine,
+                              cfg.sigma_bin)
+
+
+def render_transient(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
+                     key, refine: Optional[int] = None, alpha=None):
+    """Forward confocal transient [L, B] (+ pathlengths [B]).
+
+    `refine` defaults to cfg.bin_refine_resolution like renderStreamedTransient;
+    pass refine=1 for raw (unsmoothed) histograms as the reference's GT
+    generation does (main_create_gt.py uses refine=1, sigma=1)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    r = cfg.bin_refine_resolution if refine is None else refine
+    a = jnp.float32(0.1) if alpha is None else alpha
+    t = _render_transient_impl(mesh, lighting, lighting_normal, key, a, cfg,
+                               spt, r)
+    return t, pathlengths(cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt"))
+def _render_intensity_impl(mesh: Mesh, lighting, lighting_normal, key,
+                           cfg: RenderConfig, spt: int):
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+
+    def one(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        return intensity_chunk(rays, nc_, cfg, spt)
+
+    offsets = jnp.arange(nc) * Lc
+    per_chunk = jax.lax.map(one, (lit, nrm, offsets))  # [nc, F]
+    return per_chunk.sum(axis=0)
+
+
+def render_intensity(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
+                     key):
+    """Per-face visibility intensity [F] summed over sources, for
+    invisible-triangle culling (rendering.py:271-278)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    return _render_intensity_impl(mesh, lighting, lighting_normal, key, cfg, spt)
+
+
+def _difference(data, transient, weight, cfg: RenderConfig):
+    """difference = weight * f(data - transient), f = identity or 2d^3
+    (stratifiedStreamedGradientRenderer.cpp:543-550)."""
+    d = data - transient
+    if cfg.loss_flag == 1:
+        d = 2.0 * d * d * d
+    return d * weight
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt", "mode"))
+def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
+                  alpha, cfg: RenderConfig, spt: int, mode: str):
+    transient = _render_transient_impl(
+        mesh, lighting, lighting_normal, key, alpha, cfg, spt,
+        cfg.forward_refine
+    )
+    diff = _difference(data, transient, weight, cfg)
+
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    # Padded rows of diff (if L not divisible) must read as zero.
+    pad = nc * Lc - L
+    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
+
+    def one(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        if mode == "vertex":
+            return backward_chunk(rays, mesh, nc_, diff_pad, off, cfg, spt,
+                                  alpha=alpha)
+        if mode == "albedo":
+            return backward_albedo_chunk(rays, nc_, diff_pad, off, cfg, spt)
+        if mode == "alpha":
+            return backward_alpha_chunk(rays, nc_, diff_pad, off, cfg, spt,
+                                        alpha)
+        raise ValueError(mode)
+
+    offsets = jnp.arange(nc) * Lc
+    per_chunk = jax.lax.map(one, (lit, nrm, offsets))
+    grad = per_chunk.sum(axis=0) / float(L)  # /numSources (t&g.cpp:561-565)
+    return transient, grad
+
+
+def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
+                   cfg: RenderConfig, key, alpha=None):
+    """(transient [L,B], vertex gradient [V,3], pathlengths [B]).
+
+    Parity with rendering.inverseRendering (rendering.py:252-269): the
+    gradient is of  sum_l,b weight*(data - T_smooth)^2  averaged over sources,
+    with the reference's forward tmp_refine semantics."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    a = jnp.float32(0.1) if alpha is None else alpha
+    t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
+                         a, cfg, spt, "vertex")
+    return t, g, pathlengths(cfg)
+
+
+def inverse_render_albedo(mesh: Mesh, data, weight, lighting, lighting_normal,
+                          cfg: RenderConfig, key):
+    """(transient, scalar albedo gradient) — inverseRenderingAlbedo
+    (rendering.py:241-250)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
+                         jnp.float32(0.0), cfg, spt, "albedo")
+    return t, g
+
+
+def inverse_render_alpha(mesh: Mesh, data, weight, lighting, lighting_normal,
+                         cfg: RenderConfig, key, alpha):
+    """(transient, scalar GGX-roughness gradient) — inverseRenderingAlpha
+    (rendering.py:232-238)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
+                         alpha, cfg, spt, "alpha")
+    return t, g
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt", "vertex_num"))
+def _vgrad_impl(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
+                spt: int, vertex_num: int):
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+
+    def one(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        return vertex_gradient_bins_chunk(rays, mesh, nc_, vertex_num, cfg, spt)
+
+    offsets = jnp.arange(nc) * Lc
+    return jax.lax.map(one, (lit, nrm, offsets)).sum(axis=0)
+
+
+def vertex_gradient_bins(mesh: Mesh, lighting, lighting_normal,
+                         cfg: RenderConfig, key, vertex_num: int):
+    """Per-bin single-vertex gradient diagnostic [B,3]
+    (rendering.py:26-30 / streamed_render_vertex_gradient)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    return _vgrad_impl(mesh, lighting, lighting_normal, key, cfg, spt,
+                       vertex_num)
+
+
+def transient_loss_and_grad(mesh: Mesh, data, weight, lighting,
+                            lighting_normal, cfg: RenderConfig, key,
+                            alpha=None):
+    """Convenience: weighted L2 loss (rendering.py:360-367 style, without the
+    smoothness term) plus the analytic vertex gradient."""
+    t, g, _ = inverse_render(mesh, data, weight, lighting, lighting_normal,
+                             cfg, key, alpha)
+    diff = (t - data) * jnp.sqrt(weight)
+    loss = jnp.sum(diff * diff) / data.shape[0]
+    return loss, t, g

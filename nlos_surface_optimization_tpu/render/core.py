@@ -1,0 +1,451 @@
+"""Core confocal transient rendering: forward splat + analytic backward.
+
+TPU-first re-design of the reference's per-(source x triangle) Embree kernels
+(smoothed_transient/transient_and_gradient.cpp).  Work is a dense tensor of
+rays [Lc, F, spt] (source-chunk x face x samples-per-face); visibility is a
+tiled segment-occlusion query; temporal binning is a segment-sum; the K-tap
+Gaussian scatter loop of the reference's gradient kernel
+(transient_and_gradient.cpp:972-1001) is algebraically collapsed into two
+weighted gather-reductions per ray:
+
+    A = sum_i w_i * diff[l, bin_i]
+    Bw = sum_i w_i * delta_i * diff[l, bin_i]
+
+so the per-vertex gradient is dense VPU math followed by one segment-sum
+scatter over vertex ids.
+
+Semantics parity notes (deliberate, documented deviations):
+  * Out-of-range kernel taps are masked to zero; the reference reads out of
+    bounds of `difference` there (latent UB).
+  * A sample whose coarse bin lands exactly on num_bins (2h == upper bound)
+    is dropped; the reference writes out of bounds.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..geometry.intersect import segment_occluded
+from ..geometry.mesh import Mesh, face_normals_areas
+from ..geometry.sampling import stratified_barycoords
+from . import brdf as ggx
+from .kernels import gaussian_kernel
+
+_EPS = 1e-30
+
+
+class RayBatch(NamedTuple):
+    """Per-ray quantities for a source chunk; leading shape [Lc, F, spt]."""
+
+    dirs: jax.Array       # [Lc,F,spt,3] unit ray directions
+    h: jax.Array          # [Lc,F,spt]   half path length |p - o|
+    normal: jax.Array     # [Lc,F,spt,3] shading normal (fn broadcast or vn interp)
+    albedo: jax.Array     # [Lc,F,spt]
+    bary: jax.Array       # [Lc,F,spt,3]
+    valid: jax.Array      # [Lc,F,spt] bool: f_valid & in-range & visible
+    area: jax.Array       # [F] face areas
+    face_n: jax.Array     # [F,3] unit face normals
+
+
+def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
+                spt: int, source_offset=0, occl_ray_chunk: int = 16384) -> RayBatch:
+    """Sample points on every face from every source in the chunk and run the
+    visibility query.  Mirrors streamedRayTraceTriangle's setup
+    (transient_and_gradient.cpp:178-215)."""
+    Lc = lighting.shape[0]
+    F = mesh.f.shape[0]
+    v1 = mesh.v[mesh.f[:, 0]]
+    v2 = mesh.v[mesh.f[:, 1]]
+    v3 = mesh.v[mesh.f[:, 2]]
+    face_n, area = face_normals_areas(mesh.v, mesh.f)
+
+    bary = stratified_barycoords(key, Lc, F, spt, source_offset)  # [Lc,F,spt,3]
+    p = (
+        bary[..., 0:1] * v1[None, :, None, :]
+        + bary[..., 1:2] * v2[None, :, None, :]
+        + bary[..., 2:3] * v3[None, :, None, :]
+    )
+    o = lighting[:, None, None, :]
+    dvec = p - o
+    h = jnp.linalg.norm(dvec, axis=-1)
+    hs = jnp.maximum(h, 1e-12)
+    dirs = dvec / hs[..., None]
+
+    in_range = (h >= cfg.bin_lower / 2.0) & (h <= cfg.bin_upper / 2.0)
+
+    # Visibility: nearest hit must be the sampled face <=> segment unblocked.
+    R = Lc * F * spt
+    o_flat = jnp.broadcast_to(o, p.shape).reshape(R, 3)
+    d_flat = dirs.reshape(R, 3)
+    t_flat = hs.reshape(R)
+    fid = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
+    ).reshape(R)
+
+    n_rc = max(1, math.ceil(R / occl_ray_chunk))
+    pad = n_rc * occl_ray_chunk - R
+    if pad:
+        o_flat = jnp.pad(o_flat, ((0, pad), (0, 0)))
+        d_flat = jnp.pad(d_flat, ((0, pad), (0, 0)), constant_values=1.0)
+        t_flat = jnp.pad(t_flat, (0, pad))
+        fid = jnp.pad(fid, (0, pad))
+
+    def occ_chunk(args):
+        oc, dc, tc, fc = args
+        return segment_occluded(
+            oc, dc, tc, fc, mesh.v, mesh.f, mesh.f_valid,
+            t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+        )
+
+    occ = jax.lax.map(
+        occ_chunk,
+        (
+            o_flat.reshape(n_rc, occl_ray_chunk, 3),
+            d_flat.reshape(n_rc, occl_ray_chunk, 3),
+            t_flat.reshape(n_rc, occl_ray_chunk),
+            fid.reshape(n_rc, occl_ray_chunk),
+        ),
+    ).reshape(-1)[:R].reshape(Lc, F, spt)
+
+    valid = mesh.f_valid[None, :, None] & in_range & ~occ & (area > 0)[None, :, None]
+
+    if cfg.normal == "vn":
+        n1 = mesh.vn[mesh.f[:, 0]]
+        n2 = mesh.vn[mesh.f[:, 1]]
+        n3 = mesh.vn[mesh.f[:, 2]]
+        normal = (
+            bary[..., 0:1] * n1[None, :, None, :]
+            + bary[..., 1:2] * n2[None, :, None, :]
+            + bary[..., 2:3] * n3[None, :, None, :]
+        )  # NOT normalized, matching transient_and_gradient.cpp:216-219
+    else:
+        normal = jnp.broadcast_to(face_n[None, :, None, :], p.shape)
+
+    a1 = mesh.albedo[mesh.f[:, 0]]
+    a2 = mesh.albedo[mesh.f[:, 1]]
+    a3 = mesh.albedo[mesh.f[:, 2]]
+    alb = (
+        bary[..., 0] * a1[None, :, None]
+        + bary[..., 1] * a2[None, :, None]
+        + bary[..., 2] * a3[None, :, None]
+    )
+
+    return RayBatch(dirs=dirs, h=hs, normal=normal, albedo=alb, bary=bary,
+                    valid=valid, area=area, face_n=face_n)
+
+
+def _brdf_value(rays: RayBatch, cfg: RenderConfig, alpha):
+    """BRDF multiplier per ray (1 for Lambertian)."""
+    if cfg.brdf == "ggx":
+        c = jnp.sum(rays.normal * (-rays.dirs), axis=-1)
+        return ggx.eval_scalar(alpha, c)
+    return jnp.ones_like(rays.h)
+
+
+def forward_chunk(rays: RayBatch, lighting_normal, cfg: RenderConfig,
+                  spt: int, refine: int, alpha=None):
+    """Fine histogram [Lc, num_bins*refine] for one source chunk.
+
+    Per-sample weight area*albedo*max(0, cos2*cos3)^... : exactly
+    transient_and_gradient.cpp:204-233 (note the forward clamps the product,
+    the backward clamps the cosines separately)."""
+    Lc = rays.h.shape[0]
+    onorm = lighting_normal[:, None, None, :]
+    cos2 = jnp.sum(onorm * rays.dirs, axis=-1)
+    cos3 = -jnp.sum(rays.normal * rays.dirs, axis=-1)
+    ff = jnp.maximum(0.0, cos3 * cos2) / (rays.h * rays.h)
+    contrib = rays.area[None, :, None] * rays.albedo * ff * ff
+    contrib = contrib * _brdf_value(rays, cfg, alpha)
+    contrib = jnp.where(rays.valid, contrib, 0.0) / float(spt)
+
+    fine_res = cfg.distance_resolution / refine
+    Bf = cfg.num_bins * refine
+    bin_f = jnp.floor((2.0 * rays.h - cfg.bin_lower) / fine_res).astype(jnp.int32)
+    ok = (bin_f >= 0) & (bin_f < Bf)
+    contrib = jnp.where(ok, contrib, 0.0)
+    bin_f = jnp.clip(bin_f, 0, Bf - 1)
+
+    l_idx = jnp.broadcast_to(
+        jnp.arange(Lc, dtype=jnp.int32)[:, None, None], rays.h.shape
+    )
+    seg = (l_idx * Bf + bin_f).reshape(-1)
+    hist = jax.ops.segment_sum(
+        contrib.reshape(-1), seg, num_segments=Lc * Bf
+    )
+    return hist.reshape(Lc, Bf)
+
+
+def intensity_chunk(rays: RayBatch, lighting_normal, cfg: RenderConfig, spt: int):
+    """Per-face visibility intensity, accumulated over sources in the chunk
+    (streamedRayTraceIntensity, transient_and_gradient.cpp:91-117; albedo and
+    normals are forced to defaults there)."""
+    onorm = lighting_normal[:, None, None, :]
+    cos2 = jnp.sum(onorm * rays.dirs, axis=-1)
+    # face normal regardless of cfg.normal (reference passes nullptr normals)
+    F = rays.area.shape[0]
+    fn = jnp.broadcast_to(rays.face_n[None, :, None, :], rays.dirs.shape)
+    cos3 = -jnp.sum(fn * rays.dirs, axis=-1)
+    ff = jnp.maximum(0.0, cos3 * cos2) / (rays.h * rays.h)
+    contrib = rays.area[None, :, None] * ff * ff
+    contrib = jnp.where(rays.valid, contrib, 0.0) / float(spt)
+    return contrib.sum(axis=(0, 2))  # [F]
+
+
+def _gradient_terms(rays: RayBatch, lighting_normal, cfg: RenderConfig, alpha):
+    """Shared per-ray gradient ingredients: t1 [.,3], t2 [.,3], intensity,
+    ff2 (BRDF-free squared form factor), following
+    transient_and_gradient.cpp:944-966 and ggx/transient_and_gradient.cpp:
+    750-782."""
+    onorm = lighting_normal[:, None, None, :]
+    cos2 = jnp.maximum(jnp.sum(onorm * rays.dirs, axis=-1), 0.0)
+    cos3 = jnp.maximum(-jnp.sum(rays.normal * rays.dirs, axis=-1), 0.0)
+    h = rays.h
+    ff = cos2 * cos3 / (h * h)
+    ff2 = ff * ff
+
+    area_s = jnp.maximum(rays.area, _EPS)[None, :, None, None]
+
+    # Base spatial-derivative direction (no albedo/BRDF factor yet):
+    # 2*cos2*cos3*(onorm*cos3 - normal*cos2 + 4*(-dir)*cos2*cos3)/h^5
+    t1_base = (
+        2.0
+        * (cos2 * cos3)[..., None]
+        * (
+            onorm * cos3[..., None]
+            - rays.normal * cos2[..., None]
+            + 4.0 * (-rays.dirs) * (cos2 * cos3)[..., None]
+        )
+        / (h ** 5)[..., None]
+    )
+
+    use_gn = cfg.normal == "vn" and cfg.testing_flag == 0
+
+    if cfg.brdf == "ggx":
+        c = jnp.sum(rays.normal * (-rays.dirs), axis=-1)
+        bval = ggx.eval_scalar(alpha, c)
+        dscale = ggx.eval_cdiff(alpha, c)
+        # eval_nwdiff: BRDF_dn = Dscale*w, BRDF_dw = Dscale*normal (w = -dir)
+        brdf_dn = dscale[..., None] * (-rays.dirs)
+        brdf_dw = dscale[..., None] * rays.normal
+        # BRDF_dx = -BRDF_dw + dir*dot(dir, BRDF_dw)/h   (ggx .cpp:759).
+        # NB: the reference divides only the second term by halfLength (C++
+        # operator precedence); we replicate that exactly even though the
+        # chain rule would divide the whole projection by h.
+        brdf_dx = -brdf_dw + rays.dirs * (
+            jnp.sum(rays.dirs * brdf_dw, axis=-1, keepdims=True)
+            / h[..., None]
+        )
+        intensity = rays.albedo * ff2 * bval
+        # ggx t1_1 carries no albedo factor (ggx .cpp:764-768)
+        t1 = t1_base * bval[..., None] + ff2[..., None] * brdf_dx
+        gn = jnp.zeros_like(t1)
+        if use_gn:
+            gn = (
+                -2.0 * rays.dirs * (cos3 * cos2 * cos2 * bval)[..., None]
+                / (h ** 4)[..., None]
+            )
+            gn = gn + ff2[..., None] * brdf_dn
+            gn = gn - rays.normal * jnp.sum(gn * rays.normal, axis=-1, keepdims=True)
+    else:
+        intensity = rays.albedo * ff2
+        t1 = rays.albedo[..., None] * t1_base
+        gn = jnp.zeros_like(t1)
+        if use_gn:
+            gn = (
+                -2.0
+                * rays.albedo[..., None]
+                * rays.dirs
+                * (cos3 * cos2 * cos2)[..., None]
+                / (h ** 4)[..., None]
+            )
+            gn = gn - rays.normal * jnp.sum(gn * rays.normal, axis=-1, keepdims=True)
+
+    t2 = (rays.normal * intensity[..., None] + gn) / (2.0 * area_s)
+    return t1, t2, intensity, ff2
+
+
+def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig,
+                    weights, deltas):
+    """Gather diff over the K kernel taps and reduce.
+
+    Returns (A, Bw): A = sum_i w_i*d_i, Bw = sum_i w_i*delta_i*d_i, each with
+    ray shape.  difference is the full [L, B] array; sources in this chunk
+    start at source_offset."""
+    Lc = rays.h.shape[0]
+    B = cfg.num_bins
+    res = cfg.distance_resolution
+    diff_flat = difference.reshape(-1)
+    two_h = 2.0 * rays.h
+    l_idx = (
+        jnp.arange(Lc, dtype=jnp.int32)[:, None, None] + source_offset
+    )
+
+    A = jnp.zeros_like(rays.h)
+    Bw = jnp.zeros_like(rays.h)
+    # K is small (41 for the flagship config): unrolled loop keeps memory at
+    # one ray-sized tensor per step and lets XLA fuse the gathers.
+    for i in range(weights.shape[0]):
+        w_i = float(weights[i])
+        d_i = float(deltas[i])
+        b = jnp.floor((two_h + d_i - cfg.bin_lower) / res).astype(jnp.int32)
+        ok = (b >= 0) & (b < B)
+        idx = l_idx * B + jnp.clip(b, 0, B - 1)
+        d = jnp.where(ok, diff_flat[idx], 0.0)
+        A = A + w_i * d
+        Bw = Bw + (w_i * d_i) * d
+    return A, Bw
+
+
+def backward_chunk(rays: RayBatch, mesh: Mesh, lighting_normal, difference,
+                   source_offset, cfg: RenderConfig, spt: int, alpha=None):
+    """Analytic vertex gradient for one source chunk -> [V,3] (sum over the
+    chunk's sources; caller divides by total num_sources).
+
+    Implements streamedRayTraceTriangleGradient
+    (transient_and_gradient.cpp:925-1007) with the K-tap loop collapsed to
+    the (A, Bw) reductions."""
+    t1, t2, intensity, _ = _gradient_terms(rays, lighting_normal, cfg, alpha)
+    weights, deltas = gaussian_kernel(
+        cfg.distance_resolution, cfg.bin_refine_resolution, cfg.sigma_bin
+    )
+    A, Bw = _tap_reductions(rays, difference, source_offset, cfg, weights, deltas)
+
+    sigma2 = cfg.sigma * cfg.sigma
+    gauss_vec = (2.0 / sigma2) * rays.dirs * (intensity * Bw)[..., None]
+
+    v1 = mesh.v[mesh.f[:, 0]][None, :, None, :]
+    v2 = mesh.v[mesh.f[:, 1]][None, :, None, :]
+    v3 = mesh.v[mesh.f[:, 2]][None, :, None, :]
+    edges = (v3 - v2, v1 - v3, v2 - v1)  # opposite edge per vertex slot
+
+    scale = (
+        jnp.where(rays.valid, 1.0, 0.0)
+        * rays.area[None, :, None]
+        * (-2.0 / float(spt))
+    )[..., None]
+
+    grads = []
+    for k in range(3):
+        gk = (
+            (t1 * A[..., None] + gauss_vec) * rays.bary[..., k : k + 1]
+            + jnp.cross(t2, jnp.broadcast_to(edges[k], t2.shape)) * A[..., None]
+        )
+        grads.append(gk * scale)
+
+    # Scatter-add: sum over (source, sample) then segment-sum faces->vertices.
+    V = mesh.v.shape[0]
+    per_face = [g.sum(axis=(0, 2)) for g in grads]  # each [F,3]
+    stacked = jnp.stack(per_face, axis=1).reshape(-1, 3)  # [F*3,3]
+    ids = mesh.f.reshape(-1)
+    return jax.ops.segment_sum(stacked, ids, num_segments=V)
+
+
+def backward_albedo_chunk(rays: RayBatch, lighting_normal, difference,
+                          source_offset, cfg: RenderConfig, spt: int):
+    """Scalar albedo gradient (streamedRayTraceTriangleGradientAlbedo,
+    transient_and_gradient.cpp:652-693: g0 = ff^2 with separately clamped
+    cosines; no albedo/BRDF factor)."""
+    _, _, _, ff2 = _gradient_terms(rays, lighting_normal, cfg, None)
+    weights, deltas = gaussian_kernel(
+        cfg.distance_resolution, cfg.bin_refine_resolution, cfg.sigma_bin
+    )
+    A, _ = _tap_reductions(rays, difference, source_offset, cfg, weights, deltas)
+    g = jnp.where(rays.valid, ff2 * A, 0.0) * rays.area[None, :, None]
+    return (-2.0 / float(spt)) * g.sum()
+
+
+def backward_alpha_chunk(rays: RayBatch, lighting_normal, difference,
+                         source_offset, cfg: RenderConfig, spt: int, alpha):
+    """Scalar GGX-roughness gradient (ggx/transient_and_gradient.cpp:385-512,
+    eval_adiff at :492): g0 = albedo * ff^2 * d(BRDF)/d(alpha)."""
+    c = jnp.sum(rays.normal * (-rays.dirs), axis=-1)
+    adiff = ggx.eval_adiff(alpha, c)
+    _, _, _, ff2 = _gradient_terms(rays, lighting_normal, cfg, alpha)
+    weights, deltas = gaussian_kernel(
+        cfg.distance_resolution, cfg.bin_refine_resolution, cfg.sigma_bin
+    )
+    A, _ = _tap_reductions(rays, difference, source_offset, cfg, weights, deltas)
+    g = jnp.where(rays.valid, rays.albedo * ff2 * adiff * A, 0.0)
+    g = g * rays.area[None, :, None]
+    return (-2.0 / float(spt)) * g.sum()
+
+
+def vertex_gradient_bins_chunk(rays: RayBatch, mesh: Mesh, lighting_normal,
+                               vertex_num: int, cfg: RenderConfig, spt: int):
+    """Per-bin gradient diagnostic for one vertex -> [B,3]
+    (streamedRayTraceTriangleVertexGradient,
+    transient_and_gradient.cpp:697-840; fn shading, no difference weighting).
+    """
+    cfg_fn = cfg.replace(normal="fn")
+    t1, t2, intensity, _ = _gradient_terms(rays, lighting_normal, cfg_fn, None)
+    # This diagnostic DOES include the gn face-normal term unconditionally
+    # (transient_and_gradient.cpp:798-803).
+    onorm = lighting_normal[:, None, None, :]
+    cos2 = jnp.maximum(jnp.sum(onorm * rays.dirs, axis=-1), 0.0)
+    fnb = jnp.broadcast_to(rays.face_n[None, :, None, :], rays.dirs.shape)
+    cos3 = jnp.maximum(-jnp.sum(fnb * rays.dirs, axis=-1), 0.0)
+    gn = (
+        -2.0
+        * rays.albedo[..., None]
+        * rays.dirs
+        * (cos3 * cos2 * cos2)[..., None]
+        / (rays.h ** 4)[..., None]
+    )
+    gn = gn - fnb * jnp.sum(gn * fnb, axis=-1, keepdims=True)
+    area_s = jnp.maximum(rays.area, _EPS)[None, :, None, None]
+    t2 = (fnb * intensity[..., None] + gn) / (2.0 * area_s)
+
+    weights, deltas = gaussian_kernel(
+        cfg.distance_resolution, cfg.bin_refine_resolution, cfg.sigma_bin
+    )
+    sigma2 = cfg.sigma * cfg.sigma
+
+    v1 = mesh.v[mesh.f[:, 0]][None, :, None, :]
+    v2 = mesh.v[mesh.f[:, 1]][None, :, None, :]
+    v3 = mesh.v[mesh.f[:, 2]][None, :, None, :]
+    edges = (v3 - v2, v1 - v3, v2 - v1)
+
+    # Which barycentric slot (if any) this vertex occupies per face.
+    slot_mask = [
+        (mesh.f[:, k] == vertex_num)[None, :, None] for k in range(3)
+    ]
+    bary_k = sum(
+        jnp.where(slot_mask[k], rays.bary[..., k], 0.0) for k in range(3)
+    )
+    edge_k = sum(
+        jnp.where(slot_mask[k][..., None], jnp.broadcast_to(edges[k], t2.shape), 0.0)
+        for k in range(3)
+    )
+    involved = sum(jnp.where(m, 1.0, 0.0) for m in slot_mask) > 0
+
+    scale = (
+        jnp.where(rays.valid & involved, 1.0, 0.0)
+        * rays.area[None, :, None]
+        / float(spt)
+    )
+
+    B = cfg.num_bins
+    out = jnp.zeros((B, 3), rays.h.dtype)
+    two_h = 2.0 * rays.h
+    cross_term = jnp.cross(t2, edge_k)
+    for i in range(weights.shape[0]):
+        w_i = float(weights[i])
+        d_i = float(deltas[i])
+        gauss = (2.0 * d_i / sigma2) * rays.dirs * intensity[..., None]
+        g = ((t1 + gauss) * bary_k[..., None] + cross_term) * w_i
+        g = g * scale[..., None]
+        b = jnp.floor((two_h + d_i - cfg.bin_lower) /
+                      cfg.distance_resolution).astype(jnp.int32)
+        ok = (b >= 0) & (b < B)
+        g = jnp.where(ok[..., None], g, 0.0)
+        b = jnp.clip(b, 0, B - 1)
+        out = out + jax.ops.segment_sum(
+            g.reshape(-1, 3), b.reshape(-1), num_segments=B
+        )
+    return out

@@ -1,0 +1,47 @@
+"""Temporal kernels: Gaussian smoothing and measured SPAD jitter.
+
+Reference semantics (transient_and_gradient.cpp:348-371):
+  sigma   = resolution * sigma_bin / 2.355          (FWHM -> sigma)
+  taps    = 4 * refine * sigma_bin + 1 sub-bins of width resolution/refine
+  delta_i = (-2*refine*sigma_bin + i) * resolution / refine
+  w_i     = exp(-(delta_i/sigma)^2/2) / (sigma*sqrt(2*pi)) * resolution/refine
+The forward renders a fine histogram at resolution/refine, convolves with w
+('same' alignment: output index i maps to y[i + 2*refine*sigma_bin] of the
+full convolution), and sums each group of `refine` fine bins into a coarse
+bin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def gaussian_kernel(resolution: float, refine: int, sigma_bin: int):
+    """(weights [K], deltas [K]) as numpy f64 (host-side constants)."""
+    K = 4 * refine * sigma_bin + 1
+    sigma = resolution * sigma_bin / 2.355
+    i = np.arange(K)
+    deltas = (-2.0 * refine * sigma_bin + i) * resolution / refine
+    norm = 1.0 / sigma / np.sqrt(2.0 * np.pi) * resolution / refine
+    weights = np.exp(-((deltas / sigma) ** 2) / 2.0) * norm
+    return weights, deltas
+
+
+def smooth_and_coarsen(fine_hist: jnp.ndarray, resolution: float,
+                       refine: int, sigma_bin: int) -> jnp.ndarray:
+    """[L, B*refine] fine histogram -> [L, B] smoothed coarse transient.
+
+    Matches transient_and_gradient.cpp:360-371 (centered convolution, then
+    group-sum by refine)."""
+    if refine == 1:
+        return fine_hist
+    w, _ = gaussian_kernel(resolution, refine, sigma_bin)
+    w = jnp.asarray(w, dtype=fine_hist.dtype)
+    L, Bf = fine_hist.shape
+    # 'same' convolution: centered (kernel length K is odd).
+    smoothed = jnp.vectorize(
+        lambda x: jnp.convolve(x, w, mode="same"), signature="(n)->(n)"
+    )(fine_hist)
+    B = Bf // refine
+    return smoothed.reshape(L, B, refine).sum(axis=-1)
