@@ -66,6 +66,13 @@ class RenderConfig:
     occl_t_rel: float = 1e-4
     occl_t_min: float = 1e-6
 
+    # Replicate the reference's GGX BRDF_dx formula verbatim (it divides
+    # only the parallel component by halfLength due to a C++ operator-
+    # precedence slip, ggx/transient_and_gradient.cpp:759).  Default False =
+    # mathematically correct projection (-dw + dir*dot(dir,dw))/h, which the
+    # autograd twin confirms.
+    ggx_compat_dx: bool = False
+
     # Number of scan points rendered per jitted chunk (memory knob).
     source_chunk: int = 0  # 0 = all sources in one chunk
 

@@ -233,14 +233,15 @@ def _gradient_terms(rays: RayBatch, lighting_normal, cfg: RenderConfig, alpha):
         # eval_nwdiff: BRDF_dn = Dscale*w, BRDF_dw = Dscale*normal (w = -dir)
         brdf_dn = dscale[..., None] * (-rays.dirs)
         brdf_dw = dscale[..., None] * rays.normal
-        # BRDF_dx = -BRDF_dw + dir*dot(dir, BRDF_dw)/h   (ggx .cpp:759).
-        # NB: the reference divides only the second term by halfLength (C++
-        # operator precedence); we replicate that exactly even though the
-        # chain rule would divide the whole projection by h.
-        brdf_dx = -brdf_dw + rays.dirs * (
-            jnp.sum(rays.dirs * brdf_dw, axis=-1, keepdims=True)
-            / h[..., None]
-        )
+        # d(BRDF)/d(point) = (-BRDF_dw + dir*dot(dir, BRDF_dw)) / h.
+        # The reference divides only the parallel component by halfLength
+        # (C++ precedence slip, ggx/transient_and_gradient.cpp:759);
+        # cfg.ggx_compat_dx replicates that verbatim.
+        par = rays.dirs * jnp.sum(rays.dirs * brdf_dw, axis=-1, keepdims=True)
+        if cfg.ggx_compat_dx:
+            brdf_dx = -brdf_dw + par / h[..., None]
+        else:
+            brdf_dx = (-brdf_dw + par) / h[..., None]
         intensity = rays.albedo * ff2 * bval
         # ggx t1_1 carries no albedo factor (ggx .cpp:764-768)
         t1 = t1_base * bval[..., None] + ff2[..., None] * brdf_dx
