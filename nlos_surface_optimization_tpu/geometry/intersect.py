@@ -94,7 +94,9 @@ def segment_occluded(o, d, t_self, self_fid, v, f, f_valid,
         return occ | jnp.any(blocked, axis=-1), None
 
     starts = jnp.arange(n_tiles) * tile
-    occ0 = jnp.zeros(o.shape[0], dtype=bool)
+    # derive the all-False carry from a varying input so the carry's
+    # varying-manual-axes match under shard_map (vma-clean)
+    occ0 = t_self != t_self
     occ, _ = jax.lax.scan(body, occ0, (p1, e1, e2, valid, starts))
     return occ
 
@@ -115,11 +117,13 @@ def nearest_hit(o, d, v, f, f_valid, t_min=1e-6, tile=_DEF_TILE):
     valid = valid.reshape(n_tiles, tile)
 
     R = o.shape[0]
+    # carries derived from varying inputs (vma-clean under shard_map)
+    zero = (o[:, 0] * 0.0).astype(jnp.float32)
     init = (
-        jnp.full((R,), jnp.inf, jnp.float32),  # best t
-        jnp.full((R,), -1, jnp.int32),         # best fid
-        jnp.zeros((R,), jnp.float32),          # u
-        jnp.zeros((R,), jnp.float32),          # v
+        zero + jnp.inf,                        # best t
+        zero.astype(jnp.int32) - 1,            # best fid
+        zero,                                  # u
+        zero,                                  # v
     )
 
     def body(state, tri):
