@@ -1,0 +1,302 @@
+"""The inverse-rendering outer loop: plateau-driven phase machine with
+remeshing, auto-tuned smoothness weight, and coarse-to-fine schedules.
+
+Faithful re-implementation of the reference's per-scene driver
+(exp_bunny/test.py:55-224) on top of the TPU renderer:
+
+  per-iteration (test.py:152-216):
+    batched inverse render -> averaged vertex gradient        (:161-167)
+    normal-smoothness value + gradient                        (:169)
+    auto smooth_weight = original_l2/smoothing_val/ratio      (:172-178)
+    lr rescale (original_l2/l2_first)*lr0*0.99^(t/15)         (:176-178)
+    Adam_Modified step, border vertices at lr*edge_lr_ratio   (:104, :212-216)
+  plateau detection (run_count > 2, rel. improvement < eps):  (:191-210)
+    toggle testing_flag (fn <-> shading/gn mode), or
+    coarse-to-fine: remesh resolution x1.5, samples x1.5, eps/2
+  remesh block (:117-151):
+    integrate old->new vertices (El Topo role), isotropic remesh to
+    0.5/resolution, recompute affinity/borders, cull invisible faces,
+    fresh optimizer; forced every 15 steps (:218-219); stop at the face
+    budget (:119-123)
+  checkpoint every iteration (:186-187)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..geometry.mesh import make_mesh
+from ..geometry.remesh import integrate_vertices, isotropic_remesh
+from ..geometry.topology import (
+    border_vertices,
+    face_affinity,
+    remove_triangles,
+    remove_unreferenced,
+)
+from ..io.mat import save_checkpoint
+from ..render import inverse_render, normal_smoothing, render_intensity
+from ..render.regularizers import normal_smoothing as _ns
+from .adam_modified import adam_modified
+from .loss import create_weighting_function, evaluate_loss_with_normal_smoothness
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    lr0: float = 1e-4 / 3
+    T: int = 500                     # max iterations (test.py:42)
+    smooth_ratio: float = 100.0      # auto-lambda divisor   (test.py arg)
+    loss_epsilon: float = 1e-4       # plateau threshold     (OPT)
+    edge_lr_ratio: float = 0.1       # border lr multiplier  (OPT)
+    gamma: float = 1.0               # weighting exponent    (OPT)
+    face_budget: int = 250_000       # stop at (test.py:119)
+    forced_remesh_every: int = 15    # test.py:218-219
+    scan_resolution: int = 64        # drives target edge 0.5/res
+    checkpoint_dir: Optional[str] = None
+    remesh_iterations: int = 3
+
+
+@dataclasses.dataclass
+class LoopState:
+    v: np.ndarray
+    f: np.ndarray
+    old_v: np.ndarray
+    t: int = 0
+    run_count: int = 0
+    remesh_flag: bool = False
+    weight_flag: bool = True
+    testing_flag: int = 1
+    smooth_weight: float = 1e-3
+    lr: float = 1e-4 / 3
+    loss_epsilon: float = 1e-4
+    scan_resolution: float = 64.0
+    sample_num: float = 20000.0
+    smooth_ratio: float = 100.0
+    l2_first: Optional[float] = None
+
+
+class InverseRenderingLoop:
+    """Drives vertex-position optimization of one scene."""
+
+    def __init__(self, gt_transient, lighting, lighting_normal,
+                 render_cfg: RenderConfig, loop_cfg: LoopConfig,
+                 init_v: np.ndarray, init_f: np.ndarray,
+                 key: jax.Array,
+                 gt_mesh=None,
+                 inverse_render_fn: Optional[Callable] = None,
+                 log: Callable[[str], None] = print):
+        self.gt = np.asarray(gt_transient)
+        self.lighting = np.asarray(lighting)
+        self.lnormal = np.asarray(lighting_normal)
+        self.rcfg = render_cfg
+        self.cfg = loop_cfg
+        self.key = key
+        self.gt_mesh = gt_mesh
+        self.log = log
+        self._inverse = inverse_render_fn or (
+            lambda mesh, data, w, cfg, k: inverse_render(
+                mesh, data, w, self.lighting, self.lnormal, cfg, k
+            )
+        )
+
+        v, f = isotropic_remesh(
+            init_v, init_f, 0.5 / loop_cfg.scan_resolution,
+            iterations=loop_cfg.remesh_iterations,
+        )
+        self.state = LoopState(
+            v=v, f=f, old_v=v.copy(),
+            lr=loop_cfg.lr0, loss_epsilon=loop_cfg.loss_epsilon,
+            scan_resolution=float(loop_cfg.scan_resolution),
+            sample_num=float(render_cfg.num_samples),
+            smooth_ratio=loop_cfg.smooth_ratio,
+        )
+        self._rebuild_topology()
+        self.weight = np.asarray(
+            create_weighting_function(self.gt, loop_cfg.gamma)
+        )
+        self._new_optimizer()
+        self.history = {"l2": [], "l2_original": [], "v2": []}
+
+    # ---------------------------------------------------------------- setup
+
+    def _rebuild_topology(self):
+        s = self.state
+        self.affinity = face_affinity(s.f)
+        self.border = border_vertices(s.f, s.v.shape[0])
+        self.lr_scale = np.where(
+            self.border == 1, self.cfg.edge_lr_ratio, 1.0
+        ).astype(np.float64)
+
+    def _new_optimizer(self):
+        self._opt_init, self._opt_update = adam_modified(lr=1.0)  # lr folded below
+        self.opt_state = self._opt_init(jnp.asarray(self.state.v))
+
+    def _current_cfg(self) -> RenderConfig:
+        s = self.state
+        return self.rcfg.replace(
+            num_samples=int(s.sample_num),
+            normal="vn" if s.testing_flag == 0 else self.rcfg.normal,
+            testing_flag=s.testing_flag,
+        )
+
+    # --------------------------------------------------------------- remesh
+
+    def _remesh(self) -> bool:
+        """Returns False when the face budget stops the run
+        (test.py:117-151)."""
+        s = self.state
+        if s.f.shape[0] > self.cfg.face_budget:
+            return False
+        self.log("remesh")
+        s.v = integrate_vertices(s.old_v, s.f, s.v).astype(np.float32)
+        target = 0.5 / s.scan_resolution
+        s.v, s.f = isotropic_remesh(
+            s.v, s.f, target, iterations=self.cfg.remesh_iterations
+        )
+        # cull invisible triangles (rendering.py:271-278)
+        mesh = make_mesh(s.v, s.f)
+        cfgc = self._current_cfg()
+        inten = np.asarray(render_intensity(
+            mesh, self.lighting, self.lnormal, cfgc, self.key
+        ))[: s.f.shape[0]]
+        aff = face_affinity(s.f)
+        keep = remove_triangles(s.f, aff, inten)
+        s.f = s.f[keep]
+        s.v, s.f = remove_unreferenced(s.v, s.f)
+        s.old_v = s.v.copy()
+        self._rebuild_topology()
+        self.weight = np.asarray(
+            create_weighting_function(self.gt, self.cfg.gamma)
+        )
+        self._new_optimizer()
+        s.remesh_flag = False
+        s.run_count = 0
+        return True
+
+    # ----------------------------------------------------------------- step
+
+    def step(self) -> bool:
+        """One outer iteration; returns False when the loop should stop."""
+        s = self.state
+        if s.remesh_flag and not self._remesh():
+            return False
+        if s.remesh_flag:
+            return True  # remesh happened; render next call
+
+        tic = time.time()
+        cfgc = self._current_cfg()
+        mesh = make_mesh(
+            s.v, s.f,
+            vn=self._vertex_normals() if cfgc.normal == "vn" else None,
+        )
+        k = jax.random.fold_in(self.key, s.t)
+        transient, grad, _ = self._inverse(mesh, self.gt, self.weight, cfgc, k)
+        transient = np.asarray(transient)
+        grad = np.asarray(grad)[: s.v.shape[0]]
+
+        sval, sgrad = _ns(mesh.v, mesh.f, mesh.f_valid,
+                          jnp.asarray(self.affinity))
+        sval = float(sval)
+        sgrad = np.asarray(sgrad)[: s.v.shape[0]]
+
+        l2, original_l2 = evaluate_loss_with_normal_smoothness(
+            self.gt, self.weight, transient, sval, s.smooth_weight
+        )
+        l2 = float(l2)
+        original_l2 = float(original_l2)
+
+        if s.weight_flag:
+            s.smooth_weight = original_l2 / max(sval, 1e-300) / s.smooth_ratio
+            s.weight_flag = False
+            self.log(f"new smooth weight {s.smooth_weight:f}")
+            if s.t > 0 and s.l2_first:
+                s.lr = (original_l2 / s.l2_first) * self.cfg.lr0 * (
+                    0.99 ** (s.t / 15)
+                )
+                self.log(f"new lr {s.lr:f}")
+        if s.l2_first is None:
+            s.l2_first = original_l2
+
+        grad = grad + s.smooth_weight * sgrad
+
+        v2 = np.nan
+        if self.gt_mesh is not None:
+            from ..utils.metrics import compute_v2
+            v2 = float(compute_v2(jnp.asarray(s.v), self.gt_mesh))
+        self.log(
+            f"{s.t:05d} update time: {time.time() - tic:.3f} "
+            f"L2 loss: {l2:.8f} old_l2: {original_l2:.8f} v2: {v2:.8f}"
+        )
+        h = self.history
+        h["l2"].append(l2)
+        h["l2_original"].append(original_l2)
+        h["v2"].append(v2)
+
+        if self.cfg.checkpoint_dir:
+            os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
+            save_checkpoint(
+                os.path.join(self.cfg.checkpoint_dir, f"{s.t:05d}.mat"),
+                v=s.v, f=s.f, iteration=s.t,
+                rng_key=np.asarray(jax.random.key_data(self.key)),
+                opt_m=np.asarray(self.opt_state.m),
+                opt_v=np.asarray(self.opt_state.v),
+                opt_step=int(self.opt_state.step),
+                extra={"transient": transient, "l2": l2,
+                       "l2_original": original_l2, "grad": grad,
+                       "smoothing_grad": sgrad,
+                       "sample_num": s.sample_num},
+            )
+
+        s.run_count += 1
+        s.t += 1
+
+        # plateau machine (test.py:191-210)
+        if s.run_count > 2 and len(h["l2"]) >= 2:
+            rel_o = (h["l2_original"][-2] - original_l2) / h["l2_original"][-2]
+            rel = (h["l2"][-2] - l2) / h["l2"][-2]
+            if rel_o < s.loss_epsilon or rel < s.loss_epsilon:
+                if s.testing_flag == 1:
+                    s.testing_flag = 0
+                    s.smooth_ratio = 10 + s.t / 100
+                    self.log("shading based")
+                else:
+                    s.testing_flag = 1
+                    s.scan_resolution *= 1.5
+                    s.sample_num *= 1.5
+                    s.loss_epsilon /= 2
+                    s.smooth_ratio = self.cfg.smooth_ratio + s.t / 10
+                    self.log(f"remesh {s.scan_resolution:.0f}")
+                s.remesh_flag = True
+                s.weight_flag = True
+                return True
+
+        # Adam_Modified step with per-vertex (border) lr scaling
+        updates, self.opt_state = self._opt_update(
+            jnp.asarray(grad), self.opt_state,
+            lr_scale=jnp.asarray(self.lr_scale * s.lr),
+        )
+        s.v = (s.v + np.asarray(updates)).astype(np.float32)
+
+        if s.run_count == self.cfg.forced_remesh_every:
+            s.remesh_flag = True
+        return True
+
+    def _vertex_normals(self):
+        from ..geometry.mesh import vertex_normals
+        s = self.state
+        m = make_mesh(s.v, s.f)
+        return np.asarray(vertex_normals(m.v, m.f, m.f_valid))
+
+    def run(self, max_iters: Optional[int] = None):
+        n = max_iters if max_iters is not None else self.cfg.T
+        while self.state.t < n:
+            if not self.step():
+                break
+        return self.state, self.history

@@ -30,12 +30,13 @@ from .core import (
     backward_albedo_chunk,
     backward_alpha_chunk,
     backward_chunk,
+    backward_jitter_chunk,
     forward_chunk,
     intensity_chunk,
     trace_chunk,
     vertex_gradient_bins_chunk,
 )
-from .kernels import smooth_and_coarsen
+from .kernels import jitter_convolve, smooth_and_coarsen
 
 
 def pathlengths(cfg: RenderConfig) -> jnp.ndarray:
@@ -214,6 +215,64 @@ def vertex_gradient_bins(mesh: Mesh, lighting, lighting_normal,
     spt = cfg.samples_per_face(int(mesh.f.shape[0]))
     return _vgrad_impl(mesh, lighting, lighting_normal, key, cfg, spt,
                        vertex_num)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt", "jitter_offset", "grad"))
+def _jitter_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
+                 jitter_weight, jitter_grad, cfg: RenderConfig, spt: int,
+                 jitter_offset: int, grad: bool):
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+
+    def fwd(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        return forward_chunk(rays, nc_, cfg, spt, refine=1)
+
+    offsets = jnp.arange(nc) * Lc
+    hist = jax.lax.map(fwd, (lit, nrm, offsets)).reshape(nc * Lc,
+                                                         cfg.num_bins)[:L]
+    transient = jitter_convolve(hist, jitter_weight, jitter_offset)
+    if not grad:
+        return transient, None
+
+    diff = _difference(data, transient, weight, cfg)
+    pad = nc * Lc - L
+    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
+
+    def bwd(args):
+        lc, nc_, off = args
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        return backward_jitter_chunk(rays, mesh, nc_, diff_pad, off, cfg,
+                                     spt, jitter_weight, jitter_grad,
+                                     jitter_offset)
+
+    per_chunk = jax.lax.map(bwd, (lit, nrm, offsets))
+    return transient, per_chunk.sum(axis=0) / float(L)
+
+
+def render_transient_jitter(mesh: Mesh, lighting, lighting_normal,
+                            cfg: RenderConfig, key, jitter_weight,
+                            jitter_offset: int):
+    """Forward transient smoothed by a measured temporal kernel [K]
+    (jitter variant, rendering.py:252-269 opt.jitter branch)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    t, _ = _jitter_impl(mesh, None, None, lighting, lighting_normal, key,
+                        jnp.asarray(jitter_weight), jnp.zeros(1), cfg, spt,
+                        jitter_offset, False)
+    return t, pathlengths(cfg)
+
+
+def inverse_render_jitter(mesh: Mesh, data, weight, lighting,
+                          lighting_normal, cfg: RenderConfig, key,
+                          jitter_weight, jitter_grad, jitter_offset: int):
+    """(transient, vertex gradient, pathlengths) under the measured jitter
+    kernel (jitter.pyx renderStreamedGradient)."""
+    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    t, g = _jitter_impl(mesh, jnp.asarray(data), jnp.asarray(weight),
+                        lighting, lighting_normal, key,
+                        jnp.asarray(jitter_weight), jnp.asarray(jitter_grad),
+                        cfg, spt, jitter_offset, True)
+    return t, g, pathlengths(cfg)
 
 
 def transient_loss_and_grad(mesh: Mesh, data, weight, lighting,

@@ -347,6 +347,66 @@ def backward_chunk(rays: RayBatch, mesh: Mesh, lighting_normal, difference,
     return jax.ops.segment_sum(stacked, ids, num_segments=V)
 
 
+def backward_jitter_chunk(rays: RayBatch, mesh: Mesh, lighting_normal,
+                          difference, source_offset, cfg: RenderConfig,
+                          spt: int, jitter_weight, jitter_grad,
+                          jitter_offset: int):
+    """Analytic vertex gradient with a measured temporal kernel -> [V,3].
+
+    Implements the jitter gradient kernel
+    (jitter/transient_and_gradient.cpp:900-975): taps are integer bin
+    shifts delta_i = i - offset of the sample's coarse bin; per tap,
+        g = (t1*w_i + jg_i*intensity*(-2)*dir/res)*bary + cross(t2,e)*w_i
+    times -2*difference[bin+delta_i]; collapsed into two reductions
+        A = sum_i w_i  * diff[bin_i],   C = sum_i jg_i * diff[bin_i].
+    Out-of-range taps are masked (the reference reads OOB — latent UB)."""
+    t1, t2, intensity, _ = _gradient_terms(rays, lighting_normal, cfg, None)
+
+    B = cfg.num_bins
+    res = cfg.distance_resolution
+    diff_flat = difference.reshape(-1)
+    l_idx = jnp.arange(rays.h.shape[0], dtype=jnp.int32)[:, None, None] + source_offset
+    bin0 = jnp.floor((2.0 * rays.h - cfg.bin_lower) / res).astype(jnp.int32)
+
+    K = jitter_weight.shape[0]
+    A = jnp.zeros_like(rays.h)
+    C = jnp.zeros_like(rays.h)
+    for i in range(K):
+        b = bin0 + (i - jitter_offset)
+        ok = (b >= 0) & (b < B)
+        idx = l_idx * B + jnp.clip(b, 0, B - 1)
+        d = jnp.where(ok, diff_flat[idx], 0.0)
+        A = A + jitter_weight[i] * d
+        C = C + jitter_grad[i] * d
+
+    jvec = (-2.0 / res) * rays.dirs * (intensity * C)[..., None]
+
+    v1 = mesh.v[mesh.f[:, 0]][None, :, None, :]
+    v2 = mesh.v[mesh.f[:, 1]][None, :, None, :]
+    v3 = mesh.v[mesh.f[:, 2]][None, :, None, :]
+    edges = (v3 - v2, v1 - v3, v2 - v1)
+
+    scale = (
+        jnp.where(rays.valid, 1.0, 0.0)
+        * rays.area[None, :, None]
+        * (-2.0 / float(spt))
+    )[..., None]
+
+    grads = []
+    for k in range(3):
+        gk = (
+            (t1 * A[..., None] + jvec) * rays.bary[..., k : k + 1]
+            + jnp.cross(t2, jnp.broadcast_to(edges[k], t2.shape)) * A[..., None]
+        )
+        grads.append(gk * scale)
+
+    V = mesh.v.shape[0]
+    per_face = [g.sum(axis=(0, 2)) for g in grads]
+    stacked = jnp.stack(per_face, axis=1).reshape(-1, 3)
+    ids = mesh.f.reshape(-1)
+    return jax.ops.segment_sum(stacked, ids, num_segments=V)
+
+
 def backward_albedo_chunk(rays: RayBatch, lighting_normal, difference,
                           source_offset, cfg: RenderConfig, spt: int):
     """Scalar albedo gradient (streamedRayTraceTriangleGradientAlbedo,

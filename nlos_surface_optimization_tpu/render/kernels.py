@@ -28,6 +28,21 @@ def gaussian_kernel(resolution: float, refine: int, sigma_bin: int):
     return weights, deltas
 
 
+def jitter_convolve(hist: jnp.ndarray, weight: jnp.ndarray,
+                    offset: int) -> jnp.ndarray:
+    """Measured-SPAD-jitter temporal smoothing of a coarse histogram.
+
+    T[l, b] = sum_i weight[i] * hist[l, b + offset - i]: the reference's
+    full convolution into numBins+K-1 scratch followed by a window at
+    `offset` (jitter/transient_and_gradient.cpp:333-351)."""
+    w = jnp.asarray(weight, dtype=hist.dtype)
+    B = hist.shape[-1]
+    full = jnp.vectorize(
+        lambda x: jnp.convolve(x, w, mode="full"), signature="(n)->(m)"
+    )(hist)
+    return full[..., offset:offset + B]
+
+
 def smooth_and_coarsen(fine_hist: jnp.ndarray, resolution: float,
                        refine: int, sigma_bin: int) -> jnp.ndarray:
     """[L, B*refine] fine histogram -> [L, B] smoothed coarse transient.

@@ -122,6 +122,87 @@ def forward_transient(v, f, lighting, lnormal, bary, lo, res, B, refine=1,
     return out
 
 
+def forward_transient_jitter(v, f, lighting, lnormal, bary, lo, res, B,
+                             weight, offset):
+    """Coarse histogram convolved with the measured kernel
+    (jitter/transient_and_gradient.cpp:333-351)."""
+    hist = forward_transient(v, f, lighting, lnormal, bary, lo, res, B,
+                             refine=1)
+    out = np.zeros_like(hist)
+    for l in range(hist.shape[0]):
+        full = np.convolve(hist[l], weight, mode="full")
+        out[l] = full[offset:offset + B]
+    return out
+
+
+def vertex_gradient_jitter(v, f, lighting, lnormal, bary, difference, lo,
+                           res, B, jitter_weight, jitter_grad, jitter_offset,
+                           vn=None, testing_flag=1):
+    """Loop re-derivation of the jitter gradient kernel
+    (jitter/transient_and_gradient.cpp:900-975), OOB taps masked."""
+    L, F, spt, _ = bary.shape
+    p, h, d, vis, fn, area = _ray_quantities(v, f, lighting, lnormal, bary)
+    hi = lo + B * res
+    p1, p2, p3 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+
+    if vn is not None:
+        nrm = (
+            bary[..., 0:1] * vn[f[:, 0]][None, :, None]
+            + bary[..., 1:2] * vn[f[:, 1]][None, :, None]
+            + bary[..., 2:3] * vn[f[:, 2]][None, :, None]
+        )
+    else:
+        nrm = np.broadcast_to(fn[None, :, None], p.shape).copy()
+    alb = np.ones_like(h)
+
+    cos2 = np.maximum(np.einsum("lk,lfsk->lfs", lnormal, d), 0.0)
+    cos3 = np.maximum(-np.einsum("lfsk,lfsk->lfs", nrm, d), 0.0)
+    ff = cos2 * cos3 / (h * h)
+    inten = alb * ff * ff
+
+    t1 = (
+        2.0
+        * (alb * cos2 * cos3)[..., None]
+        * (
+            lnormal[:, None, None, :] * cos3[..., None]
+            - nrm * cos2[..., None]
+            + 4.0 * (-d) * (cos2 * cos3)[..., None]
+        )
+        / (h**5)[..., None]
+    )
+    gn = np.zeros_like(t1)
+    if vn is not None and testing_flag == 0:
+        gn = -2.0 * alb[..., None] * d * (cos3 * cos2 * cos2)[..., None] / (h**4)[..., None]
+        gn -= nrm * np.einsum("lfsk,lfsk->lfs", gn, nrm)[..., None]
+    t2 = (nrm * inten[..., None] + gn) / np.maximum(2 * area, 1e-300)[None, :, None, None]
+
+    in_rng = (h >= lo / 2) & (h <= hi / 2)
+    ok = vis & in_rng & (area > 0)[None, :, None]
+    li = np.broadcast_to(np.arange(L)[:, None, None], h.shape)
+
+    bin0 = np.floor((2 * h - lo) / res).astype(int)
+    K = len(jitter_weight)
+    A = np.zeros_like(h)
+    C = np.zeros_like(h)
+    for i in range(K):
+        b = bin0 + (i - jitter_offset)
+        good = (b >= 0) & (b < B)
+        dif = np.where(good, difference[li, np.clip(b, 0, B - 1)], 0.0)
+        A += jitter_weight[i] * dif
+        C += jitter_grad[i] * dif
+
+    jvec = (-2.0 / res) * d * (inten * C)[..., None]
+    grad = np.zeros_like(v, dtype=np.float64)
+    edges = (p3 - p2, p1 - p3, p2 - p1)
+    for k in range(3):
+        e = np.broadcast_to(edges[k][None, :, None], t2.shape)
+        gk = (t1 * A[..., None] + jvec) * bary[..., k : k + 1] + np.cross(t2, e) * A[..., None]
+        gk = gk * (-2.0) * area[None, :, None, None] / spt
+        gk = np.where(ok[..., None], gk, 0.0)
+        np.add.at(grad, f[:, k], gk.sum(axis=(0, 2)))
+    return grad / L
+
+
 def vertex_gradient(v, f, lighting, lnormal, bary, difference, lo, res, B,
                     refine, sigma_bin, albedo=None, vn=None, testing_flag=1):
     """Analytic vertex gradient [V,3] of the weighted smoothed-L2 loss, summed

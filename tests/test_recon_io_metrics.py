@@ -1,0 +1,142 @@
+"""Initialization pipeline (LCT, space carving), I/O, and metrics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import nlos_surface_optimization_tpu as nst
+from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+from nlos_surface_optimization_tpu.io import (
+    load_checkpoint,
+    read_obj,
+    save_checkpoint,
+    write_obj,
+)
+from nlos_surface_optimization_tpu.recon import (
+    carve_mesh,
+    init_mesh_from_lct,
+    lct_reconstruct,
+    space_carve_occupancy,
+    space_carving_projection,
+)
+from nlos_surface_optimization_tpu.render import render_transient
+from nlos_surface_optimization_tpu.utils import compute_v2, point_mesh_distance
+
+KEY = jax.random.key(5)
+
+
+def _plane_scene(z=0.5, res=16, B=256, dres=5e-3):
+    v = np.array(
+        [[-0.3, -0.3, z], [0.3, -0.3, z], [-0.3, 0.3, z], [0.3, 0.3, z]],
+        np.float32,
+    )
+    f = np.array([[0, 2, 1], [2, 3, 1]], np.int32)
+    mesh = make_mesh(v, f)
+    cfg = nst.RenderConfig(num_samples=4000, num_bins=B,
+                           distance_resolution=dres)
+    lighting, lnormal = nst.make_confocal_scan(res)
+    t, _ = render_transient(mesh, lighting, lnormal, cfg, KEY, refine=1)
+    return np.array(t), lighting, cfg
+
+
+def test_lct_recovers_plane_depth():
+    """LCT of a rendered plane at z=0.5 must put the depth argmax near 0.5
+    in the central region (end-to-end renderer -> JAX LCT)."""
+    z = 0.5
+    t, lighting, cfg = _plane_scene(z=z)
+    width = (lighting[:, 0].max() - lighting[:, 0].min()) / 2
+    res = lct_reconstruct(t, width=float(width),
+                          bin_resolution_m=cfg.distance_resolution)
+    depth = np.asarray(res.depth)
+    albedo = np.asarray(res.albedo)
+    N = depth.shape[0]
+    c = slice(N // 2 - 2, N // 2 + 2)
+    assert albedo[c, c].min() > 0
+    center_depth = depth[c, c]
+    assert np.abs(center_depth - z).max() < 0.03, center_depth
+
+
+def test_init_mesh_from_lct():
+    t, lighting, cfg = _plane_scene()
+    width = (lighting[:, 0].max() - lighting[:, 0].min()) / 2
+    res = lct_reconstruct(t, width=float(width),
+                          bin_resolution_m=cfg.distance_resolution)
+    thr = float(np.asarray(res.albedo).max()) * 0.3
+    v, f = init_mesh_from_lct(res, threshold=thr)
+    assert v.shape[0] > 4 and f.shape[0] > 0
+    assert f.max() < v.shape[0]
+    # init depth near the plane in the well-lit region
+    assert np.abs(np.median(v[:, 2]) - 0.5) < 0.05
+
+
+def test_space_carving_plane():
+    z = 0.5
+    t, lighting, cfg = _plane_scene(z=z)
+    grid = space_carve_occupancy(t, lighting, cfg.distance_resolution)
+    occ = np.asarray(grid.occupancy)  # [Z,Y,X]
+    zs = np.asarray(grid.zs)
+    # central column: carved (empty) well below the plane, occupied at plane
+    yc = len(grid.ys) // 2
+    xc = len(grid.xs) // 2
+    col = occ[:, yc, xc]
+    assert not col[zs < z - 0.05].any()
+    assert col[zs >= z].all()
+
+    cv, cf = carve_mesh(grid)
+    carve = make_mesh(cv, cf)
+    # a vertex hanging below the carve surface gets projected up
+    test_v = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.1], [0.0, 0.0, 0.6]], np.float32
+    ))
+    out = np.asarray(space_carving_projection(test_v, carve))
+    assert out[0, 2] > 0.3          # pushed up toward the carve surface
+    assert out[1, 2] == np.float32(0.6)  # already beyond: untouched
+
+
+def test_obj_roundtrip(tmp_path):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0.5]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    p = str(tmp_path / "m.obj")
+    write_obj(p, v, f)
+    v2, f2 = read_obj(p)
+    np.testing.assert_allclose(v2, v, rtol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    p = str(tmp_path / "ck.mat")
+    v = np.random.rand(5, 3)
+    f = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    key = np.array(jax.random.key_data(jax.random.key(3)))
+    save_checkpoint(p, v=v, f=f, iteration=7, rng_key=key,
+                    opt_m=np.zeros((5, 3)), opt_v=np.ones((5, 3)),
+                    opt_step=7, extra={"l2": 0.25})
+    ck = load_checkpoint(p)
+    np.testing.assert_allclose(ck["v"], v)
+    np.testing.assert_array_equal(ck["f"], f)
+    assert int(ck["iteration"]) == 7
+    assert float(ck["l2"]) == 0.25
+
+
+def test_point_mesh_distance_regions():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+    f = np.array([[0, 1, 2]], np.int32)
+    mesh = make_mesh(v, f, dtype=np.float64)
+    pts = np.array([
+        [0.2, 0.2, 0.7],    # above interior -> plane distance
+        [2.0, 0.0, 0.0],    # beyond vertex b -> distance 1
+        [0.5, -1.0, 0.0],   # below edge ab -> distance 1
+        [0.25, 0.25, 0.0],  # on the face -> 0
+    ])
+    d = np.asarray(point_mesh_distance(pts, mesh.v, mesh.f, mesh.f_valid))
+    np.testing.assert_allclose(d, [0.7, 1.0, 1.0, 0.0], atol=1e-12)
+
+
+def test_compute_v2(bumpy_mesh):
+    v, f = bumpy_mesh
+    gt = make_mesh(v, f, dtype=np.float64)
+    off = v + np.array([0, 0, 0.01], v.dtype)
+    v2 = float(compute_v2(jnp.asarray(off, jnp.float64), gt))
+    assert 0 < v2 <= 0.0101
