@@ -1,0 +1,358 @@
+// geomlib: native mesh surgery for the TPU NLOS framework.
+//
+// Isotropic remeshing (Botsch-Kobbelt: split / collapse / flip / tangential
+// relax, border-protected) — the C++ production implementation of
+// nlos_surface_optimization_tpu/geometry/remesh.py, playing the role the
+// reference's CGAL PMP::isotropic_remeshing binding plays
+// (cgal_api/c_cgal_api.cpp:198-249).  Host-side, called between jitted
+// steps; the Python twin defines the semantics and the tests compare
+// invariants (edge-length targets, manifoldness, surface distance).
+//
+// C ABI, ctypes-friendly: caller preallocates outputs (the reference uses
+// the same contract, rendering.py:72-93).
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <set>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct V3 {
+  double x = 0, y = 0, z = 0;
+};
+static inline V3 operator+(V3 a, V3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline V3 operator-(V3 a, V3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline V3 operator*(V3 a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+static inline double dot(V3 a, V3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline V3 cross(V3 a, V3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
+
+using Tri = std::array<int64_t, 3>;
+
+static inline uint64_t ekey(int64_t a, int64_t b) {
+  if (a > b) std::swap(a, b);
+  return (uint64_t(a) << 32) | uint64_t(b);
+}
+
+struct Mesh {
+  std::vector<V3> v;
+  std::vector<Tri> f;
+};
+
+static std::vector<int> border_flags(const Mesh& m) {
+  std::unordered_map<uint64_t, int> count;
+  count.reserve(m.f.size() * 3);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) count[ekey(t[s], t[(s + 1) % 3])]++;
+  std::vector<int> border(m.v.size(), 0);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) {
+      int64_t a = t[s], b = t[(s + 1) % 3];
+      if (count[ekey(a, b)] == 1) border[a] = border[b] = 1;
+    }
+  return border;
+}
+
+// ---- split -----------------------------------------------------------------
+
+static void split_long_edges(Mesh& m, double high) {
+  for (int guard = 0; guard < 50; ++guard) {
+    // edge -> (face, slot) uses
+    std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> em;
+    em.reserve(m.f.size() * 3);
+    for (int i = 0; i < (int)m.f.size(); ++i)
+      for (int s = 0; s < 3; ++s)
+        em[ekey(m.f[i][s], m.f[i][(s + 1) % 3])].push_back({i, s});
+
+    struct LE { double len; int64_t a, b; };
+    std::vector<LE> longe;
+    for (auto& kv : em) {
+      int64_t a = int64_t(kv.first >> 32), b = int64_t(kv.first & 0xffffffffu);
+      double L = norm(m.v[a] - m.v[b]);
+      if (L > high) longe.push_back({L, a, b});
+    }
+    if (longe.empty()) return;
+    std::sort(longe.begin(), longe.end(),
+              [](const LE& x, const LE& y) { return x.len > y.len; });
+
+    std::vector<char> dead(m.f.size(), 0);
+    std::vector<Tri> fresh;
+    for (auto& e : longe) {
+      auto it = em.find(ekey(e.a, e.b));
+      bool skip = false;
+      for (auto& u : it->second)
+        if (dead[u.first]) { skip = true; break; }
+      if (skip) continue;
+      int64_t mid = (int64_t)m.v.size();
+      m.v.push_back((m.v[e.a] + m.v[e.b]) * 0.5);
+      for (auto& u : it->second) {
+        Tri t = m.f[u.first];
+        int64_t ta = t[u.second], tb = t[(u.second + 1) % 3],
+                c = t[(u.second + 2) % 3];
+        dead[u.first] = 1;
+        fresh.push_back({ta, mid, c});
+        fresh.push_back({mid, tb, c});
+      }
+    }
+    std::vector<Tri> kept;
+    kept.reserve(m.f.size() + fresh.size());
+    for (int i = 0; i < (int)m.f.size(); ++i)
+      if (!dead[i]) kept.push_back(m.f[i]);
+    kept.insert(kept.end(), fresh.begin(), fresh.end());
+    m.f = std::move(kept);
+  }
+}
+
+// ---- collapse --------------------------------------------------------------
+
+struct DSU {
+  std::vector<int64_t> p;
+  explicit DSU(size_t n) : p(n) { for (size_t i = 0; i < n; ++i) p[i] = i; }
+  int64_t find(int64_t x) {
+    while (p[x] != x) { p[x] = p[p[x]]; x = p[x]; }
+    return x;
+  }
+};
+
+static void collapse_short_edges(Mesh& m, double low, double high,
+                                 const std::vector<int>& protect) {
+  size_t V = m.v.size();
+  std::vector<std::unordered_set<int64_t>> nbr(V);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) {
+      nbr[t[s]].insert(t[(s + 1) % 3]);
+      nbr[t[(s + 1) % 3]].insert(t[s]);
+    }
+  DSU dsu(V);
+  std::vector<char> alive(V, 1);
+
+  std::set<uint64_t> edges;
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) edges.insert(ekey(t[s], t[(s + 1) % 3]));
+
+  for (uint64_t key : edges) {
+    int64_t a = dsu.find(int64_t(key >> 32));
+    int64_t b = dsu.find(int64_t(key & 0xffffffffu));
+    if (a == b || !alive[a] || !alive[b]) continue;
+    if (protect[a] && protect[b]) continue;
+    double L = norm(m.v[a] - m.v[b]);
+    if (L >= low) continue;
+    int64_t keep, drop;
+    V3 pos;
+    if (protect[a]) { keep = a; drop = b; pos = m.v[a]; }
+    else if (protect[b]) { keep = b; drop = a; pos = m.v[b]; }
+    else { keep = a; drop = b; pos = (m.v[a] + m.v[b]) * 0.5; }
+
+    std::unordered_set<int64_t> merged;
+    for (auto x : nbr[keep]) { int64_t r = dsu.find(x); if (r != keep && r != drop) merged.insert(r); }
+    for (auto x : nbr[drop]) { int64_t r = dsu.find(x); if (r != keep && r != drop) merged.insert(r); }
+    bool bad = false;
+    for (auto mv : merged)
+      if (norm(pos - m.v[mv]) > high) { bad = true; break; }
+    if (bad) continue;
+    // simplified link condition
+    std::unordered_set<int64_t> sa, shared;
+    for (auto x : nbr[keep]) sa.insert(dsu.find(x));
+    int sharedCount = 0;
+    for (auto x : nbr[drop]) {
+      int64_t r = dsu.find(x);
+      if (sa.count(r) && r != keep && r != drop && shared.insert(r).second)
+        ++sharedCount;
+    }
+    if (sharedCount > 2) continue;
+
+    m.v[keep] = pos;
+    dsu.p[drop] = keep;
+    alive[drop] = 0;
+    nbr[keep] = std::unordered_set<int64_t>(merged.begin(), merged.end());
+    for (auto mv : merged) { nbr[mv].erase(drop); nbr[mv].insert(keep); }
+  }
+
+  std::vector<Tri> out;
+  out.reserve(m.f.size());
+  for (auto& t : m.f) {
+    Tri r = {dsu.find(t[0]), dsu.find(t[1]), dsu.find(t[2])};
+    if (r[0] != r[1] && r[1] != r[2] && r[0] != r[2]) out.push_back(r);
+  }
+  m.f = std::move(out);
+}
+
+// ---- cleanup ---------------------------------------------------------------
+
+static void cleanup_faces(Mesh& m) {
+  std::set<std::array<int64_t, 3>> seen;
+  std::vector<Tri> out;
+  out.reserve(m.f.size());
+  for (auto& t : m.f) {
+    V3 n = cross(m.v[t[1]] - m.v[t[0]], m.v[t[2]] - m.v[t[0]]);
+    if (norm(n) <= 1e-14) continue;
+    std::array<int64_t, 3> k = {t[0], t[1], t[2]};
+    std::sort(k.begin(), k.end());
+    if (!seen.insert(k).second) continue;
+    out.push_back(t);
+  }
+  m.f = std::move(out);
+}
+
+static void compact(Mesh& m) {
+  std::vector<int64_t> remap(m.v.size(), -1);
+  std::vector<V3> nv;
+  for (auto& t : m.f)
+    for (auto idx : t)
+      if (remap[idx] < 0) { remap[idx] = (int64_t)nv.size(); nv.push_back(m.v[idx]); }
+  for (auto& t : m.f)
+    for (auto& idx : t) idx = remap[idx];
+  m.v = std::move(nv);
+}
+
+// ---- flip ------------------------------------------------------------------
+
+static void flip_edges(Mesh& m, const std::vector<int>& protect) {
+  std::vector<int> valence(m.v.size(), 0);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) valence[t[s]]++;
+  auto target = [&](int64_t i) { return protect[i] ? 4 : 6; };
+
+  std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> em;
+  for (int i = 0; i < (int)m.f.size(); ++i)
+    for (int s = 0; s < 3; ++s)
+      em[ekey(m.f[i][s], m.f[i][(s + 1) % 3])].push_back({i, s});
+
+  std::unordered_set<int> touched;
+  for (auto& kv : em) {
+    if (kv.second.size() != 2) continue;
+    auto [i1, s1] = kv.second[0];
+    auto [i2, s2] = kv.second[1];
+    if (touched.count(i1) || touched.count(i2)) continue;
+    int64_t a = int64_t(kv.first >> 32), b = int64_t(kv.first & 0xffffffffu);
+    int64_t c = m.f[i1][(s1 + 2) % 3], d = m.f[i2][(s2 + 2) % 3];
+    if (c == d) continue;
+    if (em.count(ekey(c, d))) continue;
+    auto dev = [&](int val, int64_t i) { double e = val - target(i); return e * e; };
+    double before = dev(valence[a], a) + dev(valence[b], b) + dev(valence[c], c) + dev(valence[d], d);
+    double after = dev(valence[a] - 1, a) + dev(valence[b] - 1, b) + dev(valence[c] + 1, c) + dev(valence[d] + 1, d);
+    if (after >= before) continue;
+    V3 n1 = cross(m.v[d] - m.v[c], m.v[a] - m.v[c]);
+    V3 n2 = cross(m.v[b] - m.v[c], m.v[d] - m.v[c]);
+    if (norm(n1) < 1e-14 || norm(n2) < 1e-14 || dot(n1, n2) <= 0) continue;
+    m.f[i1] = {c, d, a};
+    m.f[i2] = {d, c, b};
+    valence[a]--; valence[b]--; valence[c]++; valence[d]++;
+    touched.insert(i1);
+    touched.insert(i2);
+  }
+}
+
+// ---- tangential relax ------------------------------------------------------
+
+static void tangential_relax(Mesh& m, const std::vector<int>& protect,
+                             double lam) {
+  size_t V = m.v.size();
+  std::vector<V3> acc(V);
+  std::vector<double> cnt(V, 0);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) {
+      acc[t[s]] = acc[t[s]] + m.v[t[(s + 1) % 3]];
+      cnt[t[s]] += 1;
+      acc[t[(s + 1) % 3]] = acc[t[(s + 1) % 3]] + m.v[t[s]];
+      cnt[t[(s + 1) % 3]] += 1;
+    }
+  std::vector<V3> vn(V);
+  for (auto& t : m.f) {
+    V3 n = cross(m.v[t[1]] - m.v[t[0]], m.v[t[2]] - m.v[t[0]]);
+    for (int s = 0; s < 3; ++s) vn[t[s]] = vn[t[s]] + n;
+  }
+  std::vector<V3> out = m.v;
+  for (size_t i = 0; i < V; ++i) {
+    if (protect[i] || cnt[i] == 0) continue;
+    V3 cen = acc[i] * (1.0 / cnt[i]);
+    V3 nrm = vn[i];
+    double nn = norm(nrm);
+    if (nn > 1e-30) nrm = nrm * (1.0 / nn);
+    V3 d = cen - m.v[i];
+    d = d - nrm * dot(d, nrm);
+    out[i] = m.v[i] + d * lam;
+  }
+  m.v = std::move(out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if out buffers too small (out_nv/out_nf still
+// report required sizes).
+int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
+                             const int32_t* f_in, int64_t nf,
+                             double target_edge_length, int iterations,
+                             int protect_border,
+                             double* v_out, int64_t cap_v,
+                             int32_t* f_out, int64_t cap_f,
+                             int64_t* out_nv, int64_t* out_nf) {
+  Mesh m;
+  m.v.resize(nv);
+  for (int64_t i = 0; i < nv; ++i)
+    m.v[i] = {v_in[3 * i], v_in[3 * i + 1], v_in[3 * i + 2]};
+  m.f.resize(nf);
+  for (int64_t i = 0; i < nf; ++i)
+    m.f[i] = {f_in[3 * i], f_in[3 * i + 1], f_in[3 * i + 2]};
+
+  double high = 4.0 / 3.0 * target_edge_length;
+  double low = 4.0 / 5.0 * target_edge_length;
+  for (int it = 0; it < iterations; ++it) {
+    split_long_edges(m, high);
+    auto protect = protect_border ? border_flags(m)
+                                  : std::vector<int>(m.v.size(), 0);
+    collapse_short_edges(m, low, high, protect);
+    cleanup_faces(m);
+    compact(m);
+    protect = protect_border ? border_flags(m)
+                             : std::vector<int>(m.v.size(), 0);
+    flip_edges(m, protect);
+    tangential_relax(m, protect, 0.5);
+  }
+
+  *out_nv = (int64_t)m.v.size();
+  *out_nf = (int64_t)m.f.size();
+  if ((int64_t)m.v.size() > cap_v || (int64_t)m.f.size() > cap_f) return 1;
+  for (size_t i = 0; i < m.v.size(); ++i) {
+    v_out[3 * i] = m.v[i].x;
+    v_out[3 * i + 1] = m.v[i].y;
+    v_out[3 * i + 2] = m.v[i].z;
+  }
+  for (size_t i = 0; i < m.f.size(); ++i) {
+    f_out[3 * i] = (int32_t)m.f[i][0];
+    f_out[3 * i + 1] = (int32_t)m.f[i][1];
+    f_out[3 * i + 2] = (int32_t)m.f[i][2];
+  }
+  return 0;
+}
+
+// Face adjacency (cgal_api face_affinity equivalent): out[3*i+s] = face
+// across edge (f[i][s], f[i][s+1]), -1 for border/non-manifold.
+void geomlib_face_affinity(const int32_t* f_in, int64_t nf, int32_t* out) {
+  std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> em;
+  em.reserve(nf * 3);
+  for (int64_t i = 0; i < nf; ++i)
+    for (int s = 0; s < 3; ++s)
+      em[ekey(f_in[3 * i + s], f_in[3 * i + (s + 1) % 3])].push_back(
+          {(int)i, s});
+  for (int64_t i = 0; i < 3 * nf; ++i) out[i] = -1;
+  for (auto& kv : em) {
+    if (kv.second.size() != 2) continue;
+    auto [i1, s1] = kv.second[0];
+    auto [i2, s2] = kv.second[1];
+    out[3 * i1 + s1] = i2;
+    out[3 * i2 + s2] = i1;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,130 @@
+"""End-to-end experiment runner.
+
+One config-driven function replacing the reference's per-scene
+test.py / preprocess.m pipeline:
+  1. load or create GT transients                    (test.py:69-75 / P5)
+  2. LCT reconstruction -> init mesh                 (preprocess.m / M1)
+  3. space carving (optional projection constraint)  (M2)
+  4. plateau-driven outer loop                       (test.py:116-219)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import RenderConfig, make_confocal_scan
+from ..geometry.mesh import make_mesh
+from ..io.mat import load_transient_shards
+from ..io.obj import read_obj
+from ..optim.outer_loop import InverseRenderingLoop, LoopConfig
+from ..recon import init_mesh_from_lct, lct_reconstruct
+from .create_gt import create_gt
+from .scenes import SCENES, SceneSpec, mesh_dir
+
+
+def _load_gt_mesh(spec: SceneSpec, meshes: Optional[str]):
+    d = meshes or mesh_dir()
+    if spec.mesh_file and d:
+        p = os.path.join(d, spec.mesh_file)
+        if os.path.exists(p):
+            return read_obj(p)
+    # synthetic fallback: a height field stands in for the missing asset
+    n = 32
+    xs = np.linspace(spec.scan_lower[0], spec.scan_upper[0], n)
+    gx, gy = np.meshgrid(xs, xs)
+    z = 0.5 + 0.06 * np.sin(6 * gx) * np.cos(5 * gy)
+    v = np.stack([gx.ravel(), gy.ravel(), z.ravel()], 1).astype(np.float32)
+    f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            f.append([a, a + n, a + 1])
+            f.append([a + n, a + n + 1, a + 1])
+    return v, np.array(f, np.int32)
+
+
+def run_experiment(scene: str, workdir: str,
+                   max_iters: Optional[int] = None,
+                   scan_resolution: Optional[int] = None,
+                   sample_num: Optional[int] = None,
+                   gt_sample_num: Optional[int] = None,
+                   meshes: Optional[str] = None,
+                   key=None, log=print):
+    """Run one scene end-to-end; returns (state, history)."""
+    spec = SCENES[scene]
+    key = jax.random.key(0) if key is None else key
+    res = scan_resolution or spec.scan_resolution
+    os.makedirs(workdir, exist_ok=True)
+
+    gt_v, gt_f = _load_gt_mesh(spec, meshes)
+    gt_mesh = make_mesh(gt_v, gt_f)
+
+    shard_glob = os.path.join(workdir, "setup",
+                              f"{spec.name}_transient_{res}_*.mat")
+    files = sorted(glob.glob(shard_glob),
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    if not files:
+        log(f"creating GT transients for {scene} at {res}x{res}")
+        files = create_gt(
+            spec, gt_v, gt_f, os.path.join(workdir, "setup"),
+            num_shards=8, resolution=res,
+            sample_num=gt_sample_num or min(spec.gt_sample_num, 200_000),
+            key=key,
+        )
+    gt = load_transient_shards(files)
+
+    cfg = RenderConfig(
+        num_samples=sample_num or spec.sample_num,
+        num_bins=spec.num_bins,
+        distance_resolution=spec.distance_resolution,
+        brdf=spec.brdf,
+        source_chunk=min(256, res * res),
+    )
+    lighting, lnormal = make_confocal_scan(
+        res, lower=spec.scan_lower, upper=spec.scan_upper
+    )
+
+    log("LCT initialization")
+    width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
+    lct = lct_reconstruct(gt, width=width,
+                          bin_resolution_m=spec.distance_resolution)
+    thr = float(np.asarray(lct.albedo).max()) * 0.25
+    v0, f0 = init_mesh_from_lct(lct, threshold=thr)
+    log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
+
+    loop_cfg = LoopConfig(
+        smooth_ratio=spec.smooth_ratio,
+        loss_epsilon=spec.loss_epsilon,
+        edge_lr_ratio=spec.edge_lr_ratio,
+        gamma=spec.gamma,
+        scan_resolution=res,
+        checkpoint_dir=os.path.join(workdir, "progress"),
+    )
+    loop = InverseRenderingLoop(gt, lighting, lnormal, cfg, loop_cfg,
+                                v0, f0, key, gt_mesh=gt_mesh, log=log)
+    return loop.run(max_iters=max_iters)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser(description="NLOS surface optimization")
+    ap.add_argument("scene", choices=sorted(SCENES))
+    ap.add_argument("--workdir", default="./runs")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--res", type=int, default=None)
+    ap.add_argument("--samples", type=int, default=None)
+    ap.add_argument("--meshes", default=None,
+                    help="directory with GT *_centered.obj assets")
+    args = ap.parse_args()
+    run_experiment(args.scene, os.path.join(args.workdir, args.scene),
+                   max_iters=args.iters, scan_resolution=args.res,
+                   sample_num=args.samples, meshes=args.meshes)
+
+
+if __name__ == "__main__":
+    main()

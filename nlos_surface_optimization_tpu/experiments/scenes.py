@@ -1,0 +1,79 @@
+"""Scene registry.
+
+Mirrors the per-scene OPT blocks of the reference's exp_* dirs:
+  synthetic scenes (GT mesh + simulated transients): bunny, armadillo,
+  bear, bust, einstein, skull, soap, horse, ggx, noise
+  (exp_bunny/test.py:16-47, exp_armadillo/main_create_gt.py:14-40, ...)
+  real captures: s, su, mannequin (exp_s/test.py:17-49: 64x64 scan over
+  [-0.35, 0.35], B=2048, edge_lr_ratio=1, gamma=0)
+
+GT mesh .obj files are data assets of the reference; point `mesh_dir` (or
+the NLOS_MESH_DIR env var) at a directory containing
+{armadillo,bear,bunny,bust,einstein,skull,soap}*_centered.obj to use them,
+or use the synthetic height-field fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    name: str
+    kind: str = "synthetic"            # 'synthetic' | 'real'
+    mesh_file: Optional[str] = None    # GT mesh (synthetic scenes)
+    transient_file: Optional[str] = None  # measured data (real scenes)
+    scan_lower: Tuple[float, float] = (-0.25, -0.25)
+    scan_upper: Tuple[float, float] = (0.25, 0.25)
+    scan_resolution: int = 64          # optimization scan (bunny: 256)
+    gt_scan_resolution: int = 256      # GT render scan
+    num_bins: int = 1200
+    distance_resolution: float = 1.2e-3
+    sample_num: int = 20_000
+    gt_sample_num: int = 100_000_000   # main_create_gt.py:52-56
+    gamma: float = 1.0
+    smooth_ratio: float = 100.0
+    edge_lr_ratio: float = 0.1
+    loss_epsilon: float = 1e-4
+    brdf: str = "lambertian"
+    ggx_alpha: float = 0.2
+
+
+def _mesh(name: str) -> str:
+    return f"{name}_centered.obj"
+
+
+SCENES = {
+    "bunny": SceneSpec("bunny", mesh_file=_mesh("bunny"),
+                       scan_resolution=256),
+    "armadillo": SceneSpec("armadillo", mesh_file=_mesh("armadillo")),
+    "bear": SceneSpec("bear", mesh_file=_mesh("bear")),
+    "bust": SceneSpec("bust", mesh_file=_mesh("bust")),
+    "einstein": SceneSpec("eistein", mesh_file=_mesh("einstein")),
+    "skull": SceneSpec("skull", mesh_file=_mesh("skull")),
+    "soap": SceneSpec("soap", mesh_file=_mesh("soap")),
+    "ggx": SceneSpec("ggx", mesh_file=_mesh("bunny"), brdf="ggx"),
+    "noise": SceneSpec("noise", mesh_file=_mesh("bunny")),
+    # real captures: 64x64 over [-0.35, 0.35], B=2048 (exp_s/test.py:20-36)
+    "s": SceneSpec("s", kind="real", transient_file="transient.mat",
+                   scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
+                   num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
+                   smooth_ratio=0.5, sample_num=2500, loss_epsilon=1e-5),
+    "su": SceneSpec("su", kind="real", transient_file="transient.mat",
+                    scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
+                    num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
+                    smooth_ratio=0.5, sample_num=2500, loss_epsilon=1e-5),
+    "mannequin": SceneSpec("mannequin", kind="real",
+                           transient_file="transient.mat",
+                           scan_lower=(-0.35, -0.35),
+                           scan_upper=(0.35, 0.35), num_bins=2048,
+                           gamma=0.0, edge_lr_ratio=1.0, smooth_ratio=0.5,
+                           sample_num=2500, loss_epsilon=1e-5),
+}
+
+
+def mesh_dir() -> Optional[str]:
+    return os.environ.get("NLOS_MESH_DIR")

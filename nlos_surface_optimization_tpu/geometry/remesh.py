@@ -250,10 +250,32 @@ def _cleanup_faces(v: np.ndarray, f: np.ndarray) -> np.ndarray:
 
 
 def isotropic_remesh(v: np.ndarray, f: np.ndarray, target_edge_length: float,
-                     iterations: int = 3, protect_border: bool = True
+                     iterations: int = 3, protect_border: bool = True,
+                     backend: str = "auto"
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """CGAL-equivalent isotropic remeshing (c_cgal_api.cpp:198-249;
-    nb_iter=3 as rendering.py:83)."""
+    nb_iter=3 as rendering.py:83).
+
+    backend: 'auto' uses the C++ geomlib when built (18-30x faster),
+    'native' requires it, 'python' forces this module's implementation."""
+    if backend in ("auto", "native"):
+        try:
+            from .native import isotropic_remesh_native
+            return isotropic_remesh_native(
+                v, f, target_edge_length, iterations, protect_border
+            )
+        except Exception:
+            if backend == "native":
+                raise
+    return isotropic_remesh_py(v, f, target_edge_length, iterations,
+                               protect_border)
+
+
+def isotropic_remesh_py(v: np.ndarray, f: np.ndarray,
+                        target_edge_length: float, iterations: int = 3,
+                        protect_border: bool = True
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-Python reference implementation (semantics twin of geomlib)."""
     v = np.asarray(v, np.float64)
     f = np.asarray(f, np.int64)
     high = 4.0 / 3.0 * target_edge_length

@@ -35,7 +35,7 @@ from ..geometry.intersect import segment_occluded
 from ..geometry.mesh import Mesh, face_normals_areas
 from ..geometry.sampling import stratified_barycoords
 from . import brdf as ggx
-from .kernels import gaussian_kernel
+from .kernels import gaussian_kernel, grouped_gaussian_tables
 
 _EPS = 1e-30
 
@@ -277,29 +277,42 @@ def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig
 
     Returns (A, Bw): A = sum_i w_i*d_i, Bw = sum_i w_i*delta_i*d_i, each with
     ray shape.  difference is the full [L, B] array; sources in this chunk
-    start at source_offset."""
+    start at source_offset.
+
+    The K (= 4*refine*sigma_bin+1) taps land on only G = 4*sigma_bin+2
+    consecutive COARSE bins, so the reference's per-tap gather loop
+    (transient_and_gradient.cpp:972-1001) is collapsed exactly into G
+    gathers with phase-grouped weight tables (kernels.grouped_gaussian_
+    tables) — 41 gathers -> 6 at the flagship refine=10/sigma_bin=1."""
     Lc = rays.h.shape[0]
     B = cfg.num_bins
     res = cfg.distance_resolution
+    refine = cfg.bin_refine_resolution
+    sigma_bin = cfg.sigma_bin
     diff_flat = difference.reshape(-1)
-    two_h = 2.0 * rays.h
     l_idx = (
         jnp.arange(Lc, dtype=jnp.int32)[:, None, None] + source_offset
     )
 
+    W, WD = grouped_gaussian_tables(res, refine, sigma_bin)
+    G = W.shape[1]
+    fine_res = res / refine
+    rsig = 2 * refine * sigma_bin
+    q = jnp.floor((2.0 * rays.h - cfg.bin_lower) / fine_res).astype(jnp.int32)
+    qs = q - rsig
+    b0 = qs // refine
+    p = qs % refine  # phase in [0, refine)
+
+    dtype = rays.h.dtype
     A = jnp.zeros_like(rays.h)
     Bw = jnp.zeros_like(rays.h)
-    # K is small (41 for the flagship config): unrolled loop keeps memory at
-    # one ray-sized tensor per step and lets XLA fuse the gathers.
-    for i in range(weights.shape[0]):
-        w_i = float(weights[i])
-        d_i = float(deltas[i])
-        b = jnp.floor((two_h + d_i - cfg.bin_lower) / res).astype(jnp.int32)
+    for j in range(G):
+        b = b0 + j
         ok = (b >= 0) & (b < B)
         idx = l_idx * B + jnp.clip(b, 0, B - 1)
         d = jnp.where(ok, diff_flat[idx], 0.0)
-        A = A + w_i * d
-        Bw = Bw + (w_i * d_i) * d
+        A = A + jnp.asarray(W[:, j], dtype)[p] * d
+        Bw = Bw + jnp.asarray(WD[:, j], dtype)[p] * d
     return A, Bw
 
 

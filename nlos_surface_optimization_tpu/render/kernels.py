@@ -28,6 +28,32 @@ def gaussian_kernel(resolution: float, refine: int, sigma_bin: int):
     return weights, deltas
 
 
+def grouped_gaussian_tables(resolution: float, refine: int, sigma_bin: int):
+    """Phase-grouped tap tables (W, WD) of shape [refine, G].
+
+    The K = 4*refine*sigma_bin+1 gradient kernel taps are spaced one FINE
+    bin apart, so along the coarse-bin axis they cover only G = 4*sigma_bin+2
+    consecutive bins.  For a sample whose fine-bin index is q (phase
+    p = q mod refine), tap i lands on coarse bin
+        b0 + floor((p + i)/refine),   b0 = floor((q - 2*refine*sigma_bin)/refine)
+    so the 3K-gather tap loop of the reference's gradient kernel
+    (transient_and_gradient.cpp:972-1001) collapses to G gathers with
+        W[p, j]  = sum_i w_i        [floor((p+i)/refine) == j]
+        WD[p, j] = sum_i w_i*delta_i[floor((p+i)/refine) == j].
+    Exact (not approximate): same taps, same bins, grouped."""
+    w, d = gaussian_kernel(resolution, refine, sigma_bin)
+    K = w.shape[0]
+    G = 4 * sigma_bin + 2
+    W = np.zeros((refine, G))
+    WD = np.zeros((refine, G))
+    for p in range(refine):
+        for i in range(K):
+            j = (p + i) // refine
+            W[p, j] += w[i]
+            WD[p, j] += w[i] * d[i]
+    return W, WD
+
+
 def jitter_convolve(hist: jnp.ndarray, weight: jnp.ndarray,
                     offset: int) -> jnp.ndarray:
     """Measured-SPAD-jitter temporal smoothing of a coarse histogram.
