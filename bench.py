@@ -2,14 +2,22 @@
 
 Scale mirrors the reference's bunny run at 64x64 (BASELINE.md): 4096 scan
 points, B=1200 bins at 1.2 mm, 20k stratified samples per source, Gaussian
-smoothing sigma_bin=1 / refine=10 (41 gradient kernel taps), on a ~2k-face
-height-field mesh (the reference's CNLOS init meshes are the same order).
+smoothing sigma_bin=1 / refine=10, on a ~3k-face height-field mesh (the
+reference's CNLOS init meshes are the same order).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is path-samples/s/chip counting forward + backward re-trace
 (the reference traces the same paths twice — transient_and_gradient.cpp
 :122-237 and :843-1007).  vs_baseline is null: the reference publishes no
 numbers (BASELINE.json "published": {}).
+
+Timing methodology (required by this rig): the TPU is reached through an
+async tunnel where block_until_ready() is a no-op and only a device->host
+fetch synchronizes (first fetch pays a ~3 min cold-start).  So: jit ONE
+function that runs K chained iterations (keys folded per iteration) and
+returns a scalar checksum; warm up the fetch path; then time
+(dispatch + fetch) for K=1 and K=REPS and difference them — fixed sync
+overhead cancels, per-iteration time is the slope.
 """
 
 import json
@@ -40,12 +48,13 @@ def build_scene(n=40):
 
 def main():
     import jax
+    import jax.numpy as jnp
     import nlos_surface_optimization_tpu as nst
-    from nlos_surface_optimization_tpu.render import inverse_render
+    from nlos_surface_optimization_tpu.render.api import _inverse_impl
 
     res = int(os.environ.get("BENCH_SCAN_RES", "64"))
     samples = int(os.environ.get("BENCH_SAMPLES", "20000"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "16"))
 
     mesh = build_scene()
     F = int(mesh.f.shape[0])
@@ -61,30 +70,49 @@ def main():
         res, lower=(-0.25, -0.25), upper=(0.25, 0.25)
     )
     L = lighting.shape[0]
+    spt = cfg.samples_per_face(F)
     key = jax.random.key(0)
 
-    # synthetic data/weight: workload is independent of their values
     B = cfg.num_bins
-    data = np.zeros((L, B), np.float32)
-    weight = np.ones((L, B), np.float32)
+    data = jnp.zeros((L, B), jnp.float32)
+    weight = jnp.ones((L, B), jnp.float32)
+    lighting = jnp.asarray(lighting)
+    lnormal = jnp.asarray(lnormal)
+    alpha = jnp.float32(0.1)
 
-    # warmup (compile)
-    t, g, _ = inverse_render(mesh, data, weight, lighting, lnormal, cfg, key)
-    jax.block_until_ready((t, g))
+    def one_iter(k):
+        t, g = _inverse_impl(mesh, data, weight, lighting, lnormal, k,
+                             alpha, cfg, spt, "vertex")
+        return jnp.sum(t) + jnp.sum(g)
 
-    times = []
-    for i in range(reps):
-        k = jax.random.fold_in(key, i)
+    def chained(K):
+        @jax.jit
+        def run(key):
+            def body(i, acc):
+                return acc + one_iter(jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        return run
+
+    run1 = chained(1)
+    runN = chained(reps)
+
+    # warm-up: compile both AND pay the tunnel's cold fetch once
+    float(run1(jax.random.fold_in(key, 10_001)))
+    float(runN(jax.random.fold_in(key, 10_002)))
+
+    def timed(fn, k):
         t0 = time.perf_counter()
-        t, g, _ = inverse_render(mesh, data, weight, lighting, lnormal, cfg, k)
-        jax.block_until_ready((t, g))
-        times.append(time.perf_counter() - t0)
+        s = float(fn(k))
+        return time.perf_counter() - t0, s
 
-    best = min(times)
-    spt = cfg.samples_per_face(F)
-    # paths traced: forward + backward re-trace, per source
-    paths = 2.0 * L * F * spt
-    value = paths / best
+    t1, _ = timed(run1, jax.random.fold_in(key, 1))
+    t1b, _ = timed(run1, jax.random.fold_in(key, 2))
+    tN, _ = timed(runN, jax.random.fold_in(key, 3))
+    t1 = min(t1, t1b)
+    per_iter = max(tN - t1, 1e-9) / (reps - 1)
+
+    paths = 2.0 * L * F * spt  # forward + backward re-trace
+    value = paths / per_iter
 
     print(json.dumps({
         "metric": "path_samples_per_sec_per_chip_fwd_bwd",
@@ -93,7 +121,8 @@ def main():
         "vs_baseline": None,
         "detail": {
             "scan": f"{res}x{res}", "faces": F, "spt": spt,
-            "bins": B, "iter_seconds": best,
+            "bins": B, "iter_seconds": per_iter,
+            "t_single": t1, "t_chained": tN, "reps": reps,
             "platform": jax.devices()[0].platform,
         },
     }))

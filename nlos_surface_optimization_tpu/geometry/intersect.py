@@ -117,8 +117,9 @@ def nearest_hit(o, d, v, f, f_valid, t_min=1e-6, tile=_DEF_TILE):
     valid = valid.reshape(n_tiles, tile)
 
     R = o.shape[0]
-    # carries derived from varying inputs (vma-clean under shard_map)
-    zero = (o[:, 0] * 0.0).astype(jnp.float32)
+    # carries derived from varying inputs (vma-clean under shard_map);
+    # dtype follows o so x64 test runs don't break the scan carry
+    zero = o[:, 0] * 0.0
     init = (
         zero + jnp.inf,                        # best t
         zero.astype(jnp.int32) - 1,            # best fid

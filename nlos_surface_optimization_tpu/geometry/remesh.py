@@ -302,13 +302,51 @@ def isotropic_remesh_py(v: np.ndarray, f: np.ndarray,
     return v.astype(np.float32), f.astype(np.int32)
 
 
-def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray
-                       ) -> np.ndarray:
+def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
+                       collision_aware: bool = True) -> np.ndarray:
     """Apply a proposed vertex update (El Topo el_topo_integrate dt=1,
     c_el_topo_api.cpp:75-101).
 
-    DEVIATION: El Topo resolves collisions/self-intersections during the
-    integration; this version applies the update directly (the outer loop's
-    step sizes are small and remeshing follows immediately).  Collision-
-    aware integration is planned for the C++ geomlib."""
-    return np.asarray(new_v, np.float64)
+    El Topo resolves collisions during the integration with full continuous
+    collision detection; here a conservative vertex-path test stands in:
+    each vertex's segment old->new is cast against the OLD mesh (excluding
+    its incident faces) and stopped at 90% of the first intersection.
+    Edge-edge CCD is not modeled (the outer loop's steps are small and an
+    isotropic remesh follows immediately, test.py:128-130)."""
+    old_v = np.asarray(old_v, np.float64)
+    new_v = np.asarray(new_v, np.float64)
+    if (not collision_aware or old_v.shape != new_v.shape
+            or (f.size and f.max() >= old_v.shape[0])):
+        # topology changed since old_v (remesh ran): nothing to integrate
+        return new_v
+    import jax.numpy as jnp
+
+    from .intersect import moller_trumbore
+
+    d = new_v - old_v
+    dist = np.linalg.norm(d, axis=1)
+    moving = dist > 1e-15
+    if not moving.any():
+        return new_v
+    dirs = np.where(moving[:, None], d / np.maximum(dist, 1e-30)[:, None], 0.0)
+
+    p1 = old_v[f[:, 0]]
+    e1 = old_v[f[:, 1]] - p1
+    e2 = old_v[f[:, 2]] - p1
+    t, u, w, hit = moller_trumbore(
+        jnp.asarray(old_v), jnp.asarray(dirs),
+        jnp.asarray(p1), jnp.asarray(e1), jnp.asarray(e2),
+    )
+    t = np.asarray(t)
+    hit = np.asarray(hit)
+    # exclude faces incident to the vertex
+    V = old_v.shape[0]
+    incident = np.zeros((V, f.shape[0]), bool)
+    for k in range(3):
+        incident[f[:, k], np.arange(f.shape[0])] = True
+    ok = hit & ~incident & (t > 1e-9) & (t < dist[:, None])
+    t_first = np.where(ok, t, np.inf).min(axis=1)
+    scale = np.where(np.isfinite(t_first), 0.9 * t_first / np.maximum(dist, 1e-30),
+                     1.0)
+    scale = np.minimum(scale, 1.0)
+    return old_v + d * scale[:, None]

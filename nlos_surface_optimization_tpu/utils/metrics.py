@@ -93,3 +93,19 @@ def compute_v2(v, gt_mesh: Mesh):
     (rendering.py:182-191)."""
     d = point_mesh_distance(v, gt_mesh.v, gt_mesh.f, gt_mesh.f_valid)
     return jnp.mean(d)
+
+
+def average_z_distance(v, gt_mesh: Mesh):
+    """Mean |z - z_gt| where z_gt is the GT surface depth hit by a +z ray
+    from (x, y, 0) — the reference's MATLAB eval metric
+    (average_point_distance_to_mesh.m:1-16).  Vertices whose ray misses the
+    GT mesh are excluded."""
+    from ..geometry.intersect import nearest_hit
+
+    v = jnp.asarray(v)
+    o = v.at[:, 2].set(0.0)
+    d = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], v.dtype), (v.shape[0], 1))
+    fid, _, _, t = nearest_hit(o, d, gt_mesh.v, gt_mesh.f, gt_mesh.f_valid)
+    hit = fid >= 0
+    err = jnp.abs(v[:, 2] - t)
+    return jnp.sum(jnp.where(hit, err, 0.0)) / jnp.maximum(hit.sum(), 1)
