@@ -46,15 +46,11 @@ def build_scene(n=40):
     return make_mesh(v, np.array(faces, np.int32))
 
 
-def main():
+def run_bench(res, samples, reps, vis):
     import jax
     import jax.numpy as jnp
     import nlos_surface_optimization_tpu as nst
     from nlos_surface_optimization_tpu.render.api import _inverse_impl
-
-    res = int(os.environ.get("BENCH_SCAN_RES", "64"))
-    samples = int(os.environ.get("BENCH_SAMPLES", "20000"))
-    reps = int(os.environ.get("BENCH_REPS", "16"))
 
     mesh = build_scene()
     F = int(mesh.f.shape[0])
@@ -65,6 +61,7 @@ def main():
         sigma_bin=1,
         bin_refine_resolution=10,
         source_chunk=64,
+        occl_backend="pallas" if vis == "pallas" else "jnp",
     )
     lighting, lnormal = nst.make_confocal_scan(
         res, lower=(-0.25, -0.25), upper=(0.25, 0.25)
@@ -72,6 +69,11 @@ def main():
     L = lighting.shape[0]
     spt = cfg.samples_per_face(F)
     key = jax.random.key(0)
+
+    accel = cluster_lists = None
+    if vis == "culled":
+        from nlos_surface_optimization_tpu.render import prepare_visibility
+        accel, cluster_lists = prepare_visibility(mesh, lighting)
 
     B = cfg.num_bins
     data = jnp.zeros((L, B), jnp.float32)
@@ -82,7 +84,8 @@ def main():
 
     def one_iter(k):
         t, g = _inverse_impl(mesh, data, weight, lighting, lnormal, k,
-                             alpha, cfg, spt, "vertex")
+                             alpha, cfg, spt, "vertex", accel=accel,
+                             cluster_lists=cluster_lists)
         return jnp.sum(t) + jnp.sum(g)
 
     def chained(K):
@@ -114,7 +117,7 @@ def main():
     paths = 2.0 * L * F * spt  # forward + backward re-trace
     value = paths / per_iter
 
-    print(json.dumps({
+    return {
         "metric": "path_samples_per_sec_per_chip_fwd_bwd",
         "value": value,
         "unit": "paths/s",
@@ -123,8 +126,38 @@ def main():
             "scan": f"{res}x{res}", "faces": F, "spt": spt,
             "bins": B, "iter_seconds": per_iter,
             "t_single": t1, "t_chained": tN, "reps": reps,
+            "visibility": vis,
             "platform": jax.devices()[0].platform,
         },
+    }
+
+
+def main():
+    res = int(os.environ.get("BENCH_SCAN_RES", "64"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "20000"))
+    reps = int(os.environ.get("BENCH_REPS", "8"))
+    # visibility backend: 'jnp' | 'culled' | 'pallas'
+    vis = os.environ.get("BENCH_VIS", "culled")
+
+    # fall back to smaller scales rather than printing nothing (the TPU
+    # tunnel on this rig can kill the worker mid-run)
+    last_err = None
+    for r, s in ((res, samples), (res // 2, samples // 2),
+                 (16, 4000), (8, 2000)):
+        if r < 8:
+            continue
+        try:
+            out = run_bench(r, s, reps, vis)
+            if last_err is not None:
+                out["detail"]["fallback_from_error"] = str(last_err)[:200]
+            print(json.dumps(out))
+            return
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+    print(json.dumps({
+        "metric": "path_samples_per_sec_per_chip_fwd_bwd",
+        "value": 0.0, "unit": "paths/s", "vs_baseline": None,
+        "detail": {"error": str(last_err)[:500]},
     }))
 
 

@@ -76,6 +76,10 @@ class RenderConfig:
     # Number of scan points rendered per jitted chunk (memory knob).
     source_chunk: int = 0  # 0 = all sources in one chunk
 
+    # Visibility backend: 'jnp' (lax.scan over face tiles) or 'pallas'
+    # (fused VMEM-resident kernel, render/pallas_kernels.py).
+    occl_backend: str = "jnp"
+
     @property
     def bin_upper(self) -> float:
         return self.bin_lower + self.num_bins * self.distance_resolution

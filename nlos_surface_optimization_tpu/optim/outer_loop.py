@@ -61,6 +61,9 @@ class LoopConfig:
     scan_resolution: int = 64        # drives target edge 0.5/res
     checkpoint_dir: Optional[str] = None
     remesh_iterations: int = 3
+    # broad-phase visibility culling (geometry/accel.py); rebuilt every
+    # iteration (vertices move), K bucketed so jit caches stay warm
+    use_visibility_accel: bool = False
 
 
 @dataclasses.dataclass
@@ -100,11 +103,16 @@ class InverseRenderingLoop:
         self.key = key
         self.gt_mesh = gt_mesh
         self.log = log
-        self._inverse = inverse_render_fn or (
-            lambda mesh, data, w, cfg, k: inverse_render(
-                mesh, data, w, self.lighting, self.lnormal, cfg, k
-            )
-        )
+        def _default_inverse(mesh, data, w, cfg, k):
+            accel = lists = None
+            if loop_cfg.use_visibility_accel:
+                from ..render import prepare_visibility
+
+                accel, lists = prepare_visibility(mesh, self.lighting)
+            return inverse_render(mesh, data, w, self.lighting, self.lnormal,
+                                  cfg, k, accel=accel, cluster_lists=lists)
+
+        self._inverse = inverse_render_fn or _default_inverse
 
         v, f = isotropic_remesh(
             init_v, init_f, 0.5 / loop_cfg.scan_resolution,

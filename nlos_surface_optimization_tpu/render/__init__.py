@@ -1,4 +1,5 @@
 from .api import (  # noqa: F401
+    prepare_visibility,
     render_transient,
     render_intensity,
     inverse_render,

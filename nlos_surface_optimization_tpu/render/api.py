@@ -63,14 +63,35 @@ def _chunks(lighting, lighting_normal, cfg: RenderConfig):
     )
 
 
+def _accel_view(mesh: Mesh, accel, cluster_lists, L, Lc, nc):
+    """(permuted mesh, padded per-chunk list slicer) for the culled path."""
+    if accel is None:
+        return mesh, lambda off: None
+    from ..geometry.accel import permute_mesh
+
+    mesh = permute_mesh(mesh, accel)
+    C = accel.num_clusters
+    pad = nc * Lc - L
+    cl = jnp.pad(cluster_lists, ((0, pad), (0, 0), (0, 0)),
+                 constant_values=C) if pad else cluster_lists
+
+    def slicer(off):
+        return jax.lax.dynamic_slice_in_dim(cl, off, Lc, axis=0)
+
+    return mesh, slicer
+
+
 @partial(jax.jit, static_argnames=("cfg", "spt", "refine"))
 def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
-                           alpha, cfg: RenderConfig, spt: int, refine: int):
+                           alpha, cfg: RenderConfig, spt: int, refine: int,
+                           accel=None, cluster_lists=None):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
 
     def one(args):
         lc, nc_, off = args
-        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
+                           accel=accel, cluster_lists=clists(off))
         return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
 
     offsets = jnp.arange(nc) * Lc
@@ -81,18 +102,40 @@ def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
 
 
 def render_transient(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
-                     key, refine: Optional[int] = None, alpha=None):
+                     key, refine: Optional[int] = None, alpha=None,
+                     accel=None, cluster_lists=None):
     """Forward confocal transient [L, B] (+ pathlengths [B]).
 
     `refine` defaults to cfg.bin_refine_resolution like renderStreamedTransient;
     pass refine=1 for raw (unsmoothed) histograms as the reference's GT
-    generation does (main_create_gt.py uses refine=1, sigma=1)."""
+    generation does (main_create_gt.py uses refine=1, sigma=1).
+
+    accel/cluster_lists (from render.prepare_visibility) enable broad-phase
+    visibility culling."""
     spt = cfg.samples_per_face(int(mesh.f.shape[0]))
     r = cfg.bin_refine_resolution if refine is None else refine
     a = jnp.float32(0.1) if alpha is None else alpha
     t = _render_transient_impl(mesh, lighting, lighting_normal, key, a, cfg,
-                               spt, r)
+                               spt, r, accel=accel,
+                               cluster_lists=cluster_lists)
     return t, pathlengths(cfg)
+
+
+def prepare_visibility(mesh: Mesh, lighting):
+    """(accel, cluster_lists) for the culled visibility path.
+
+    Host-side: call once per mesh topology/geometry change (the outer loop
+    calls it after every remesh/update).  K is bucketed to a power of two
+    so jit caches stay warm across steps."""
+    import numpy as np
+
+    from ..geometry.accel import active_cluster_lists, build_accel, required_K
+
+    accel = build_accel(np.asarray(mesh.v), np.asarray(mesh.f),
+                        np.asarray(mesh.f_valid))
+    K = required_K(accel, np.asarray(lighting))
+    lists, _ = active_cluster_lists(accel, jnp.asarray(lighting), K)
+    return accel, lists
 
 
 @partial(jax.jit, static_argnames=("cfg", "spt"))
@@ -129,21 +172,24 @@ def _difference(data, transient, weight, cfg: RenderConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "spt", "mode"))
 def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
-                  alpha, cfg: RenderConfig, spt: int, mode: str):
+                  alpha, cfg: RenderConfig, spt: int, mode: str,
+                  accel=None, cluster_lists=None):
     transient = _render_transient_impl(
         mesh, lighting, lighting_normal, key, alpha, cfg, spt,
-        cfg.forward_refine
+        cfg.forward_refine, accel=accel, cluster_lists=cluster_lists
     )
     diff = _difference(data, transient, weight, cfg)
 
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
     # Padded rows of diff (if L not divisible) must read as zero.
     pad = nc * Lc - L
     diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
 
     def one(args):
         lc, nc_, off = args
-        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
+                           accel=accel, cluster_lists=clists(off))
         if mode == "vertex":
             return backward_chunk(rays, mesh, nc_, diff_pad, off, cfg, spt,
                                   alpha=alpha)
@@ -161,7 +207,8 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
 
 
 def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
-                   cfg: RenderConfig, key, alpha=None):
+                   cfg: RenderConfig, key, alpha=None, accel=None,
+                   cluster_lists=None):
     """(transient [L,B], vertex gradient [V,3], pathlengths [B]).
 
     Parity with rendering.inverseRendering (rendering.py:252-269): the
@@ -170,7 +217,8 @@ def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
     spt = cfg.samples_per_face(int(mesh.f.shape[0]))
     a = jnp.float32(0.1) if alpha is None else alpha
     t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
-                         a, cfg, spt, "vertex")
+                         a, cfg, spt, "vertex", accel=accel,
+                         cluster_lists=cluster_lists)
     return t, g, pathlengths(cfg)
 
 

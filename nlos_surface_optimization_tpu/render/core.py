@@ -54,10 +54,17 @@ class RayBatch(NamedTuple):
 
 
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
-                spt: int, source_offset=0, occl_ray_chunk: int = 16384) -> RayBatch:
+                spt: int, source_offset=0, occl_ray_chunk: int = 16384,
+                accel=None, cluster_lists=None) -> RayBatch:
     """Sample points on every face from every source in the chunk and run the
     visibility query.  Mirrors streamedRayTraceTriangle's setup
-    (transient_and_gradient.cpp:178-215)."""
+    (transient_and_gradient.cpp:178-215).
+
+    With `accel` (geometry.accel.VisibilityAccel) the mesh's face axis must
+    already be in Morton cluster order (accel.permute_mesh) and
+    `cluster_lists` [Lc, C, K] supplies each (source, target-cluster)'s
+    active occluder clusters; the visibility query then runs the culled
+    narrow phase instead of brute force."""
     Lc = lighting.shape[0]
     F = mesh.f.shape[0]
     v1 = mesh.v[mesh.f[:, 0]]
@@ -88,30 +95,62 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
         jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
     ).reshape(R)
 
-    n_rc = max(1, math.ceil(R / occl_ray_chunk))
-    pad = n_rc * occl_ray_chunk - R
-    if pad:
-        o_flat = jnp.pad(o_flat, ((0, pad), (0, 0)))
-        d_flat = jnp.pad(d_flat, ((0, pad), (0, 0)), constant_values=1.0)
-        t_flat = jnp.pad(t_flat, (0, pad))
-        fid = jnp.pad(fid, (0, pad))
-
-    def occ_chunk(args):
-        oc, dc, tc, fc = args
-        return segment_occluded(
-            oc, dc, tc, fc, mesh.v, mesh.f, mesh.f_valid,
-            t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+    if accel is not None:
+        from ..geometry.accel import (
+            CLUSTER_SIZE,
+            cluster_triangle_soup,
+            segment_occluded_culled,
         )
 
-    occ = jax.lax.map(
-        occ_chunk,
-        (
-            o_flat.reshape(n_rc, occl_ray_chunk, 3),
-            d_flat.reshape(n_rc, occl_ray_chunk, 3),
-            t_flat.reshape(n_rc, occl_ray_chunk),
-            fid.reshape(n_rc, occl_ray_chunk),
-        ),
-    ).reshape(-1)[:R].reshape(Lc, F, spt)
+        C = accel.num_clusters
+        S = CLUSTER_SIZE * spt
+        soup = cluster_triangle_soup(mesh.v, mesh.f, mesh.f_valid, C)
+        G = Lc * C
+        slot = jnp.broadcast_to(
+            jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
+        )
+        occ = segment_occluded_culled(
+            o_flat.reshape(G, S, 3),
+            d_flat.reshape(G, S, 3),
+            t_flat.reshape(G, S),
+            slot.reshape(G, S),
+            soup,
+            cluster_lists.reshape(G, -1),
+            C, t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+        ).reshape(Lc, F, spt)
+    elif cfg.occl_backend == "pallas":
+        from .pallas_kernels import segment_occluded_pallas
+
+        occ = segment_occluded_pallas(
+            o_flat, d_flat, t_flat, fid, mesh.v, mesh.f, mesh.f_valid,
+            t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+            interpret=jax.default_backend() != "tpu",
+        ).reshape(Lc, F, spt)
+    else:
+        n_rc = max(1, math.ceil(R / occl_ray_chunk))
+        pad = n_rc * occl_ray_chunk - R
+        if pad:
+            o_flat = jnp.pad(o_flat, ((0, pad), (0, 0)))
+            d_flat = jnp.pad(d_flat, ((0, pad), (0, 0)), constant_values=1.0)
+            t_flat = jnp.pad(t_flat, (0, pad))
+            fid = jnp.pad(fid, (0, pad))
+
+        def occ_chunk(args):
+            oc, dc, tc, fc = args
+            return segment_occluded(
+                oc, dc, tc, fc, mesh.v, mesh.f, mesh.f_valid,
+                t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+            )
+
+        occ = jax.lax.map(
+            occ_chunk,
+            (
+                o_flat.reshape(n_rc, occl_ray_chunk, 3),
+                d_flat.reshape(n_rc, occl_ray_chunk, 3),
+                t_flat.reshape(n_rc, occl_ray_chunk),
+                fid.reshape(n_rc, occl_ray_chunk),
+            ),
+        ).reshape(-1)[:R].reshape(Lc, F, spt)
 
     valid = mesh.f_valid[None, :, None] & in_range & ~occ & (area > 0)[None, :, None]
 

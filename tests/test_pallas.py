@@ -1,0 +1,89 @@
+"""Pallas occlusion kernel vs the jnp reference path (interpret mode on
+CPU; the same code compiles for TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlos_surface_optimization_tpu.geometry.intersect import segment_occluded
+from nlos_surface_optimization_tpu.render.pallas_kernels import (
+    segment_occluded_pallas,
+)
+
+KEY = jax.random.key(3)
+
+
+def _rays_from_scene(bumpy_mesh, n_rays=700):
+    v, f = bumpy_mesh
+    rng = np.random.RandomState(0)
+    # rays from the wall toward random surface-ish targets
+    o = np.zeros((n_rays, 3), np.float32)
+    o[:, 0] = rng.uniform(-0.25, 0.25, n_rays)
+    o[:, 1] = rng.uniform(-0.25, 0.25, n_rays)
+    tgt = np.stack([
+        rng.uniform(-0.25, 0.25, n_rays),
+        rng.uniform(-0.25, 0.25, n_rays),
+        rng.uniform(0.4, 0.6, n_rays),
+    ], 1).astype(np.float32)
+    d = tgt - o
+    t = np.linalg.norm(d, axis=1)
+    d = d / t[:, None]
+    fid = rng.randint(0, f.shape[0], n_rays).astype(np.int32)
+    return v, f, o, d, t.astype(np.float32), fid
+
+
+def test_pallas_occlusion_matches_reference(bumpy_mesh):
+    v, f, o, d, t, fid = _rays_from_scene(bumpy_mesh)
+    f_valid = jnp.ones(f.shape[0], bool)
+    vj = jnp.asarray(v, jnp.float32)
+    ref = segment_occluded(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t),
+                           jnp.asarray(fid), vj, jnp.asarray(f), f_valid)
+    got = segment_occluded_pallas(jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t), jnp.asarray(fid), vj,
+                                  jnp.asarray(f), f_valid, interpret=True)
+    np.testing.assert_array_equal(np.array(got), np.array(ref))
+    # scene must exercise both outcomes
+    r = np.array(ref)
+    assert r.any() and (~r).any()
+
+
+def test_pallas_occlusion_padding_edges(bumpy_mesh):
+    """Ray count not divisible by the block, face padding rows inert."""
+    v, f, o, d, t, fid = _rays_from_scene(bumpy_mesh, n_rays=513)
+    f_valid = jnp.ones(f.shape[0], bool)
+    vj = jnp.asarray(v, jnp.float32)
+    ref = segment_occluded(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t),
+                           jnp.asarray(fid), vj, jnp.asarray(f), f_valid)
+    got = segment_occluded_pallas(jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t), jnp.asarray(fid), vj,
+                                  jnp.asarray(f), f_valid, interpret=True)
+    np.testing.assert_array_equal(np.array(got), np.array(ref))
+
+
+def test_pallas_backend_end_to_end(bumpy_mesh):
+    """occl_backend='pallas' produces the same transient as 'jnp' (f32)."""
+    import nlos_surface_optimization_tpu as nst
+    from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+    from nlos_surface_optimization_tpu.render import render_transient
+
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f)
+    lighting, lnormal = nst.make_confocal_scan(4)
+    cfg = nst.RenderConfig(num_samples=400, num_bins=300,
+                           distance_resolution=5e-3)
+    t_jnp, _ = render_transient(mesh, lighting, lnormal, cfg, KEY, refine=1)
+    cfg_p = cfg.replace(occl_backend="pallas")
+    t_pal, _ = render_transient(mesh, lighting, lnormal, cfg_p, KEY, refine=1)
+    np.testing.assert_allclose(np.array(t_pal), np.array(t_jnp), rtol=2e-5,
+                               atol=1e-8)
+
+
+def test_pallas_occlusion_invalid_faces_ignored(bumpy_mesh):
+    v, f, o, d, t, fid = _rays_from_scene(bumpy_mesh, n_rays=256)
+    f_valid = jnp.zeros(f.shape[0], bool)  # nothing can occlude
+    got = segment_occluded_pallas(jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(t), jnp.asarray(fid),
+                                  jnp.asarray(v, jnp.float32),
+                                  jnp.asarray(f), f_valid, interpret=True)
+    assert not np.array(got).any()

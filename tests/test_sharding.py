@@ -79,6 +79,39 @@ def test_shard_invariance_nondivisible(bumpy_mesh):
                                atol=1e-14)
 
 
+@pytest.mark.parametrize("mode", ["albedo", "alpha"])
+def test_scalar_gradient_shard_invariance(bumpy_mesh, mode):
+    cfgkw = dict(num_samples=400, num_bins=300, distance_resolution=5e-3)
+    if mode == "alpha":
+        cfgkw["brdf"] = "ggx"
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f, dtype=np.float64)
+    cfg = nst.RenderConfig(**cfgkw)
+    lighting, lnormal = nst.make_confocal_scan(4)
+    lighting = lighting.astype(np.float64)
+    lnormal = lnormal.astype(np.float64)
+    alpha = jnp.float64(0.3) if mode == "alpha" else None
+    t0, _ = render_transient(mesh, lighting, lnormal, cfg, KEY, refine=1,
+                             alpha=alpha)
+    data = np.array(t0) * 1.2
+    weight = np.ones_like(data)
+
+    from nlos_surface_optimization_tpu.render import (
+        inverse_render_albedo,
+        inverse_render_alpha,
+    )
+    if mode == "albedo":
+        _, g_ref = inverse_render_albedo(mesh, data, weight, lighting,
+                                         lnormal, cfg, KEY)
+    else:
+        _, g_ref = inverse_render_alpha(mesh, data, weight, lighting,
+                                        lnormal, cfg, KEY, alpha)
+    dmesh = make_source_mesh(jax.devices())
+    _, g_sh = sharded_inverse_render(mesh, data, weight, lighting, lnormal,
+                                     cfg, KEY, dmesh, alpha=alpha, mode=mode)
+    np.testing.assert_allclose(float(g_sh), float(g_ref), rtol=1e-10)
+
+
 def test_adam_modified_isotropic_denominator():
     """The denominator is shared across a vertex's xyz: a vertex whose grad
     is (g, 0, 0) must still be divided by mean(sqrt(v))+eps over xyz, not
