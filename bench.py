@@ -46,6 +46,12 @@ def build_scene(n=40):
     return make_mesh(v, np.array(faces, np.int32))
 
 
+def _time_one(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def run_bench(res, samples, reps, vis):
     import jax
     import jax.numpy as jnp
@@ -82,37 +88,35 @@ def run_bench(res, samples, reps, vis):
     lnormal = jnp.asarray(lnormal)
     alpha = jnp.float32(0.1)
 
+    @jax.jit
     def one_iter(k):
         t, g = _inverse_impl(mesh, data, weight, lighting, lnormal, k,
                              alpha, cfg, spt, "vertex", accel=accel,
                              cluster_lists=cluster_lists)
         return jnp.sum(t) + jnp.sum(g)
 
-    def chained(K):
-        @jax.jit
-        def run(key):
-            def body(i, acc):
-                return acc + one_iter(jax.random.fold_in(key, i))
-            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
-        return run
+    @jax.jit
+    def trivial(k):
+        return jnp.sum(jax.random.key_data(k).astype(jnp.float32))
 
-    run1 = chained(1)
-    runN = chained(reps)
+    # warm-up: compile + pay the tunnel's cold fetch once (~3 min).
+    # The tunnel kills long-running XLA programs, so each iteration is a
+    # separate (dispatch + scalar fetch); the fetch-path overhead is
+    # measured with a trivial program and subtracted.
+    float(trivial(key))
+    float(one_iter(jax.random.fold_in(key, 10_001)))
 
-    # warm-up: compile both AND pay the tunnel's cold fetch once
-    float(run1(jax.random.fold_in(key, 10_001)))
-    float(runN(jax.random.fold_in(key, 10_002)))
-
-    def timed(fn, k):
-        t0 = time.perf_counter()
-        s = float(fn(k))
-        return time.perf_counter() - t0, s
-
-    t1, _ = timed(run1, jax.random.fold_in(key, 1))
-    t1b, _ = timed(run1, jax.random.fold_in(key, 2))
-    tN, _ = timed(runN, jax.random.fold_in(key, 3))
-    t1 = min(t1, t1b)
-    per_iter = max(tN - t1, 1e-9) / (reps - 1)
+    overhead = min(
+        _time_one(lambda: float(trivial(jax.random.fold_in(key, i))))
+        for i in range(3)
+    )
+    times = [
+        _time_one(lambda: float(one_iter(jax.random.fold_in(key, 100 + i))))
+        for i in range(reps)
+    ]
+    t1 = min(times)
+    tN = sum(times)
+    per_iter = max(t1 - overhead, 1e-9)
 
     paths = 2.0 * L * F * spt  # forward + backward re-trace
     value = paths / per_iter
@@ -139,21 +143,41 @@ def main():
     # visibility backend: 'jnp' | 'culled' | 'pallas'
     vis = os.environ.get("BENCH_VIS", "culled")
 
-    # fall back to smaller scales rather than printing nothing (the TPU
-    # tunnel on this rig can kill the worker mid-run)
-    last_err = None
+    if os.environ.get("BENCH_SINGLE_SCALE"):
+        print(json.dumps(run_bench(res, samples, reps, vis)))
+        return
+
+    # Fall back to smaller scales rather than printing nothing.  Each scale
+    # runs in a FRESH subprocess: when the TPU tunnel's worker crashes, the
+    # PJRT client in that process is dead for good, but a new process
+    # reconnects cleanly.
+    import subprocess
+
+    last_err = "unknown"
     for r, s in ((res, samples), (res // 2, samples // 2),
                  (16, 4000), (8, 2000)):
         if r < 8:
             continue
+        env = dict(os.environ, BENCH_SINGLE_SCALE="1",
+                   BENCH_SCAN_RES=str(r), BENCH_SAMPLES=str(s))
         try:
-            out = run_bench(r, s, reps, vis)
-            if last_err is not None:
-                out["detail"]["fallback_from_error"] = str(last_err)[:200]
-            print(json.dumps(out))
-            return
-        except Exception as e:  # noqa: BLE001
-            last_err = e
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1500,
+            )
+            line = ""
+            for ln in (p.stdout or "").strip().splitlines():
+                if ln.startswith("{"):
+                    line = ln
+            if p.returncode == 0 and line:
+                out = json.loads(line)
+                if (r, s) != (res, samples):
+                    out["detail"]["fallback_from_error"] = str(last_err)[:200]
+                print(json.dumps(out))
+                return
+            last_err = (p.stderr or "").strip().splitlines()[-1:] or ["no output"]
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout at {r}x{r}"
     print(json.dumps({
         "metric": "path_samples_per_sec_per_chip_fwd_bwd",
         "value": 0.0, "unit": "paths/s", "vs_baseline": None,

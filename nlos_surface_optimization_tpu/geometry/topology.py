@@ -113,6 +113,33 @@ def remove_unreferenced(v: np.ndarray, f: np.ndarray
     return v[used], remap[f].astype(np.int32)
 
 
+def convex_hull_2d(points: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D convex hull in counter-clockwise order (Andrew
+    monotone chain) — cgal_api.find_convex_hull equivalent
+    (c_cgal_api.cpp:250+)."""
+    pts = np.asarray(points)[:, :2]
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+
+    def cross2(u, w):
+        return u[0] * w[1] - u[1] * w[0]
+
+    def half(indices):
+        out = []
+        for i in indices:
+            while len(out) >= 2:
+                o, a = pts[out[-2]], pts[out[-1]]
+                if cross2(a - o, pts[i] - o) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], np.int64)
+
+
 def remove_triangles(f: np.ndarray, affinity: np.ndarray,
                      intensity: np.ndarray, threshold: float = 0.0
                      ) -> np.ndarray:

@@ -135,6 +135,24 @@ def test_remove_triangles_rule():
     np.testing.assert_array_equal(keep, [True, False, True, True])
 
 
+def test_convex_hull_2d():
+    from nlos_surface_optimization_tpu.geometry.topology import convex_hull_2d
+    rng = np.random.RandomState(0)
+    pts = rng.randn(200, 2)
+    # plant known extremes
+    pts = np.vstack([pts, [[10, 0], [-10, 0], [0, 10], [0, -10]]])
+    hull = convex_hull_2d(pts)
+    assert {200, 201, 202, 203} <= set(hull.tolist())
+    # all points inside or on the hull polygon (cross-product test)
+    hp = pts[hull]
+    for i in range(len(hull)):
+        a, b = hp[i], hp[(i + 1) % len(hull)]
+        e = b - a
+        rel = pts - a
+        s = e[0] * rel[:, 1] - e[1] * rel[:, 0]
+        assert (s >= -1e-9).all()
+
+
 def test_weighting_function_normalization():
     rng = np.random.RandomState(0)
     data = rng.rand(6, 40)
