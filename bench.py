@@ -67,7 +67,7 @@ def run_bench(res, samples, reps, vis):
         sigma_bin=1,
         bin_refine_resolution=10,
         source_chunk=64,
-        occl_backend="pallas" if vis == "pallas" else "jnp",
+        occl_backend=vis if vis in ("pallas", "mxu") else "jnp",
     )
     lighting, lnormal = nst.make_confocal_scan(
         res, lower=(-0.25, -0.25), upper=(0.25, 0.25)

@@ -80,6 +80,11 @@ class RenderConfig:
     # (fused VMEM-resident kernel, render/pallas_kernels.py).
     occl_backend: str = "jnp"
 
+    # Narrow phase for the CULLED visibility path: 'mxu' casts the whole
+    # Moller-Trumbore batch as one systolic-array matmul per cluster tile
+    # (geometry/accel.py mt_coefficients); 'vpu' = elementwise reference.
+    mt_narrow: str = "mxu"
+
     @property
     def bin_upper(self) -> float:
         return self.bin_lower + self.num_bins * self.distance_resolution

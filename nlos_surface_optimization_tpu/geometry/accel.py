@@ -184,9 +184,78 @@ def cluster_triangle_soup(v, f_permuted, f_valid_permuted,
     )
 
 
+def mt_coefficients(soup):
+    """Möller–Trumbore as an MXU matmul: per-face coefficient matrix.
+
+    MT's quantities are bilinear in per-ray and per-face data:
+        det   = d · (e2 x e1)
+        u_num = (o x d) · e2  -  d · (e2 x p1)
+        v_num = -(o x d) · e1 +  d · (e1 x p1)
+        t_num = o · (e1 x e2) -  p1 · (e1 x e2)
+    so with the per-ray feature vector phi = [d, o x d, o, 1] (10) and a
+    per-face 10x4 block, ALL of (det, u_num, v_num, t_num) for a
+    (ray-block x face-tile) come from ONE matmul phi @ B — the systolic
+    array does the ray casting; only the sign tests stay on the VPU.
+    The sign tests avoid the divides: u >= 0 <=> u_num*det >= 0, etc.
+
+    soup: [..., CS, 10] (p1|e1|e2|valid) -> B [..., 10, 4*CS] plus the
+    valid plane [..., CS]."""
+    p1 = soup[..., 0:3]
+    e1 = soup[..., 3:6]
+    e2 = soup[..., 6:9]
+    val = soup[..., 9]
+    n2 = jnp.cross(e2, e1)          # det row block (d)
+    m1 = jnp.cross(e2, p1)
+    k1 = jnp.cross(e1, p1)
+    n12 = -n2                       # e1 x e2
+    zeros = jnp.zeros_like(p1)
+    zcol = jnp.zeros_like(val)
+    # B rows: [d(3), oxd(3), o(3), 1] ; columns 4 per face
+    b_det = jnp.concatenate([n2, zeros, zeros, zcol[..., None]], axis=-1)
+    b_u = jnp.concatenate([-m1, e2, zeros, zcol[..., None]], axis=-1)
+    b_v = jnp.concatenate([k1, -e1, zeros, zcol[..., None]], axis=-1)
+    b_t = jnp.concatenate(
+        [zeros, zeros, n12, -jnp.sum(p1 * n12, -1, keepdims=True)], axis=-1
+    )
+    B = jnp.stack([b_det, b_u, b_v, b_t], axis=-2)  # [..., CS, 4, 10]
+    CS = soup.shape[-2]
+    B = jnp.swapaxes(B.reshape(B.shape[:-3] + (CS * 4, 10)), -1, -2)
+    return B, val                                    # [..., 10, CS*4]
+
+
+def _mt_matmul_blocked(o, d, t_min, t_cut, B, val, slot_base, self_slot,
+                       precision):
+    """occ contribution [..., S] from one face tile via the matmul MT.
+
+    o,d: [..., S, 3]; B: [..., 10, CS*4]; val/slot_base: [..., CS]."""
+    c = jnp.cross(o, d)
+    ones = jnp.ones_like(o[..., :1])
+    phi = jnp.concatenate([d, c, o, ones], axis=-1)          # [..., S, 10]
+    out = jnp.matmul(phi, B, precision=precision)            # [..., S, CS*4]
+    CS = val.shape[-1]
+    out = out.reshape(out.shape[:-1] + (CS, 4))
+    det = out[..., 0]
+    u_num = out[..., 1]
+    v_num = out[..., 2]
+    t_num = out[..., 3]
+    # sign-safe tests (no divides): x = x_num/det, det != 0
+    ok_det = jnp.abs(det) > 1e-12
+    u_ok = u_num * det >= 0.0
+    v_ok = v_num * det >= 0.0
+    uv_ok = (u_num + v_num - det) * det <= 0.0
+    t_lo = (t_num - t_min * det) * det > 0.0
+    t_hi = (t_num - t_cut[..., None] * det) * det < 0.0
+    blocked = (
+        ok_det & u_ok & v_ok & uv_ok & t_lo & t_hi
+        & (val[..., None, :] != 0.0)
+        & (slot_base[..., None, :] != self_slot[..., None])
+    )
+    return jnp.any(blocked, axis=-1)
+
+
 def segment_occluded_culled(o, d, t_self, self_slot, soup, group_lists,
                             num_clusters: int, t_rel=1e-4, t_min=1e-6,
-                            group_chunk: int = 64):
+                            group_chunk: int = 64, narrow: str = "mxu"):
     """Occlusion with broad-phase culling.
 
     Rays come GROUPED: same leading [G_total, S] layout for o/d/t_self
@@ -194,6 +263,10 @@ def segment_occluded_culled(o, d, t_self, self_slot, soup, group_lists,
     occluder-cluster list group_lists [G_total, K].  self_slot [G_total, S]
     is each ray's global PERMUTED face slot (for self-exclusion).  soup is
     cluster_triangle_soup's output.
+
+    narrow: 'mxu' runs Möller–Trumbore as one systolic-array matmul per
+    (group, cluster) (mt_coefficients); 'vpu' is the elementwise cross-
+    product formulation (bit-matches geometry.intersect.segment_occluded).
     """
     G_total, S = t_self.shape
     K = group_lists.shape[1]
@@ -212,6 +285,10 @@ def segment_occluded_culled(o, d, t_self, self_slot, soup, group_lists,
     s_p = padg(self_slot)
     l_p = padg(group_lists, num_clusters)
 
+    if narrow == "mxu":
+        B_all, val_all = mt_coefficients(soup)      # [C+1,10,CS*4], [C+1,CS]
+        cs_iota = jnp.arange(CLUSTER_SIZE, dtype=jnp.int32)
+
     def per_chunk(args):
         oc, dc, tc, sc, lc = args    # [G,S,3] [G,S,3] [G,S] [G,S] [G,K]
         t_cut = tc * (1.0 - t_rel)
@@ -219,6 +296,14 @@ def segment_occluded_culled(o, d, t_self, self_slot, soup, group_lists,
 
         for k in range(K):
             cid = lc[:, k]                              # [G]
+            slot_base = cid[:, None] * CLUSTER_SIZE + cs_iota[None, :] \
+                if narrow == "mxu" else None
+            if narrow == "mxu":
+                occ = occ | _mt_matmul_blocked(
+                    oc, dc, t_min, t_cut, B_all[cid], val_all[cid],
+                    slot_base, sc, jax.lax.Precision.HIGHEST,
+                )
+                continue
             tri = soup[cid]                             # [G, CS, 10]
             p1 = tri[:, :, 0:3][:, None, :, :]          # [G,1,CS,3]
             e1 = tri[:, :, 3:6][:, None, :, :]

@@ -102,6 +102,57 @@ def segment_occluded(o, d, t_self, self_fid, v, f, f_valid,
 
 
 @partial(jax.jit, static_argnames=("tile",))
+def segment_occluded_mxu(o, d, t_self, self_fid, v, f, f_valid,
+                         t_rel=1e-4, t_min=1e-6, tile=_DEF_TILE):
+    """segment_occluded with the Möller–Trumbore batch cast as systolic-
+    array matmuls (geometry.accel.mt_coefficients): phi [R,10] @ B [10,4T]
+    per face tile — the MXU does the ray casting, the VPU only signs."""
+    from .accel import mt_coefficients
+
+    F = f.shape[0]
+    Fp = -(-F // tile) * tile
+    p1 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - p1
+    e2 = v[f[:, 2]] - p1
+    soup = jnp.concatenate([p1, e1, e2,
+                            f_valid.astype(p1.dtype)[:, None]], axis=1)
+    soup = jnp.pad(soup, ((0, Fp - F), (0, 0)))
+    n_tiles = Fp // tile
+    B_all, val_all = mt_coefficients(soup.reshape(n_tiles, tile, 10))
+    # B_all [n_tiles, 10, tile*4]; val_all [n_tiles, tile]
+
+    c = jnp.cross(o, d)
+    phi = jnp.concatenate([d, c, o, jnp.ones_like(o[:, :1])], axis=1)
+    t_cut = t_self * (1.0 - t_rel)
+
+    def body(occ, args):
+        B, tval, tstart = args
+        out = jnp.matmul(phi, B,
+                         precision=jax.lax.Precision.HIGHEST)  # [R, tile*4]
+        out = out.reshape(-1, tile, 4)
+        det = out[..., 0]
+        u_num = out[..., 1]
+        v_num = out[..., 2]
+        t_num = out[..., 3]
+        fid = tstart + jnp.arange(tile)
+        blocked = (
+            (jnp.abs(det) > 1e-12)
+            & (u_num * det >= 0.0) & (v_num * det >= 0.0)
+            & ((u_num + v_num - det) * det <= 0.0)
+            & ((t_num - t_min * det) * det > 0.0)
+            & ((t_num - t_cut[:, None] * det) * det < 0.0)
+            & (tval[None, :] != 0.0)
+            & (fid[None, :] != self_fid[:, None])
+        )
+        return occ | jnp.any(blocked, axis=-1), None
+
+    starts = jnp.arange(n_tiles) * tile
+    occ0 = t_self != t_self
+    occ, _ = jax.lax.scan(body, occ0, (B_all, val_all, starts))
+    return occ
+
+
+@partial(jax.jit, static_argnames=("tile",))
 def nearest_hit(o, d, v, f, f_valid, t_min=1e-6, tile=_DEF_TILE):
     """Nearest-hit query: returns (fid, u, v, t); fid = -1 for a miss.
 

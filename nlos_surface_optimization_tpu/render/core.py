@@ -117,6 +117,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
             soup,
             cluster_lists.reshape(G, -1),
             C, t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+            narrow=cfg.mt_narrow,
         ).reshape(Lc, F, spt)
     elif cfg.occl_backend == "pallas":
         from .pallas_kernels import segment_occluded_pallas
@@ -135,9 +136,14 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
             t_flat = jnp.pad(t_flat, (0, pad))
             fid = jnp.pad(fid, (0, pad))
 
+        occ_fn = segment_occluded
+        if cfg.occl_backend == "mxu":
+            from ..geometry.intersect import segment_occluded_mxu
+            occ_fn = segment_occluded_mxu
+
         def occ_chunk(args):
             oc, dc, tc, fc = args
-            return segment_occluded(
+            return occ_fn(
                 oc, dc, tc, fc, mesh.v, mesh.f, mesh.f_valid,
                 t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
             )
