@@ -31,12 +31,13 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     d = _geomlib_dir()
     so = os.path.join(d, "libgeomlib.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", d], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
+    # make is a no-op when the .so is newer than the sources; it also
+    # rebuilds stale binaries (e.g. a checkout carrying an old .so).
+    try:
+        subprocess.run(["make", "-C", d], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)
@@ -53,6 +54,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.geomlib_face_affinity.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.geomlib_integrate_ccd.restype = ctypes.c_int
+    lib.geomlib_integrate_ccd.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
     ]
     _LIB = lib
     return _LIB
@@ -105,5 +113,29 @@ def face_affinity_native(f: np.ndarray) -> np.ndarray:
     lib.geomlib_face_affinity(
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), f.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def integrate_ccd_native(old_v: np.ndarray, new_v: np.ndarray,
+                         f: np.ndarray, max_passes: int = 8) -> np.ndarray:
+    """Collision-safe vertex integration with full CCD (vertex-triangle +
+    edge-edge first-contact times, geomlib/ccd.cpp) — the el_topo_integrate
+    role (c_el_topo_api.cpp:75-101).  Raises RuntimeError if geomlib is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("geomlib not built")
+    old_v = np.ascontiguousarray(old_v, np.float64)
+    new_v = np.ascontiguousarray(new_v, np.float64)
+    f = np.ascontiguousarray(f, np.int32)
+    out = np.empty_like(old_v)
+    lib.geomlib_integrate_ccd(
+        old_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        new_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        old_v.shape[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), f.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(max_passes),
     )
     return out

@@ -307,18 +307,22 @@ def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
     """Apply a proposed vertex update (El Topo el_topo_integrate dt=1,
     c_el_topo_api.cpp:75-101).
 
-    El Topo resolves collisions during the integration with full continuous
-    collision detection; here a conservative vertex-path test stands in:
+    Preferred path: full continuous collision detection in native geomlib
+    (vertex-triangle + edge-edge first-contact cubics, the El Topo /
+    Bridson scheme — geomlib/ccd.cpp, geometry.native.integrate_ccd_native).
+    Fallback when geomlib is unavailable: a conservative vertex-path test —
     each vertex's segment old->new is cast against the OLD mesh (excluding
-    its incident faces) and stopped at 90% of the first intersection.
-    Edge-edge CCD is not modeled (the outer loop's steps are small and an
-    isotropic remesh follows immediately, test.py:128-130)."""
+    its incident faces) and stopped at 90% of the first intersection
+    (edge-edge sweeps are not modeled there)."""
     old_v = np.asarray(old_v, np.float64)
     new_v = np.asarray(new_v, np.float64)
     if (not collision_aware or old_v.shape != new_v.shape
             or (f.size and f.max() >= old_v.shape[0])):
         # topology changed since old_v (remesh ran): nothing to integrate
         return new_v
+    from . import native
+    if native.available():
+        return native.integrate_ccd_native(old_v, new_v, np.asarray(f))
     import jax.numpy as jnp
 
     from .intersect import moller_trumbore

@@ -54,3 +54,49 @@ def test_average_z_distance(plane_mesh):
     pts2 = np.array([[0.0, 0.0, 0.52], [5.0, 5.0, 0.1]], np.float64)
     d2 = float(average_z_distance(jnp.asarray(pts2), gt))
     np.testing.assert_allclose(d2, 0.02, atol=1e-9)
+
+
+def test_integrate_edge_edge_ccd():
+    """Two meshes whose EDGES sweep through each other without any vertex
+    crossing a face: only edge-edge CCD (native geomlib) catches this; the
+    vertex-path fallback would sail through."""
+    import pytest
+
+    from nlos_surface_optimization_tpu.geometry import native
+
+    if not native.available():
+        pytest.skip("geomlib not built")
+    v = np.array([
+        [-1.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.5, 0.3, 1.0],   # moving tri
+        [0.0, -1.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, -3.0],  # static tri
+    ], np.float64)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    new_v = v.copy()
+    new_v[:3, 2] = -1.0  # edge (0,1) sweeps across static edge (3,4) at t=0.5
+    out = integrate_vertices(v, f, new_v)
+    # moving vertices stopped at 0.9 * t_contact: z = 1 - 2*0.45 = 0.1
+    np.testing.assert_allclose(out[:3, 2], 0.1, atol=1e-6)
+    np.testing.assert_allclose(out[3:], v[3:], atol=0)  # static side untouched
+
+
+def test_integrate_ccd_vertex_face_both_moving():
+    """Vertex and face both move toward each other; contact time comes from
+    the relative motion cubic."""
+    import pytest
+
+    from nlos_surface_optimization_tpu.geometry import native
+
+    if not native.available():
+        pytest.skip("geomlib not built")
+    v = np.array([
+        [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+        [0.2, 0.2, 1.0], [1.2, 0.2, 1.0], [0.2, 1.2, 1.0],
+    ], np.float64)
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    new_v = v.copy()
+    new_v[3] = [0.2, 0.2, -1.0]   # down 2
+    new_v[:3, 2] = 1.0            # base plane up 1 -> relative speed 3
+    out = integrate_vertices(v, f, new_v)
+    # contact at t=1/3; every involved vertex scaled to 0.9/3 = 0.3
+    np.testing.assert_allclose(out[3, 2], 1.0 - 2 * 0.3, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2], 0.3, atol=1e-6)
