@@ -124,34 +124,63 @@ def _point_segment_dist(p, a, b):
     return jnp.linalg.norm(p - proj, axis=-1)
 
 
-def active_cluster_lists(accel: VisibilityAccel, lighting, K: int):
-    """[L, C, K] int32 occluder-cluster ids per (source, target cluster);
-    entries == C mean 'none'.  K must be >= the true max active count —
-    use `required_K` on the host to pick the bucket."""
-    C = accel.num_clusters
-    L = lighting.shape[0]
-    src = lighting[:, None, :]                       # [L,1,3]
-    tgt = accel.centers[None, :, :]                  # [1,C,3]
-    # dist of every occluder center to every (source -> target) segment
+def _active_matrix(accel: VisibilityAccel, src):
+    """[Lc, Ct, Co] bool + distances for one source chunk."""
     d = _point_segment_dist(
         accel.centers[None, None, :, :],             # [1,1,Co,3]
-        src[:, :, None, :],                          # [L,C,1,3]
-        tgt[:, :, None, :],
-    )                                                # [L,Ct,Co]
+        src[:, None, None, :],                       # [Lc,1,1,3]
+        accel.centers[None, :, None, :],             # [1,Ct,1,3]
+    )                                                # [Lc,Ct,Co]
     active = d <= (accel.radii[None, :, None] + accel.radii[None, None, :])
-    # order active first (stable by distance), take K
-    score = jnp.where(active, d, jnp.inf)
-    idx = jnp.argsort(score, axis=-1)[..., :K]       # [L,Ct,K]
-    took = jnp.take_along_axis(active, idx, axis=-1)
-    return jnp.where(took, idx, C).astype(jnp.int32), active.sum(-1).max()
+    return active, d
 
 
-def required_K(accel: VisibilityAccel, lighting) -> int:
+def active_cluster_lists(accel: VisibilityAccel, lighting, K: int,
+                         source_chunk: int = 64):
+    """[L, C, K] int32 occluder-cluster ids per (source, target cluster);
+    entries == C mean 'none'.  K must be >= the true max active count —
+    use `required_K` on the host to pick the bucket.
+
+    Memory is bounded by chunking sources: the [Lc, C, C] distance cube
+    never exceeds source_chunk*C^2 (at the reference's 250k-face remeshes,
+    C ~ 2000 — the unchunked cube would be tens of GB)."""
+    C = accel.num_clusters
+    L = lighting.shape[0]
+    Lc = min(source_chunk, L)
+    nc = math.ceil(L / Lc)
+    pad = nc * Lc - L
+    lit = jnp.pad(lighting, ((0, pad), (0, 0))) if pad else lighting
+
+    def one(src):
+        active, d = _active_matrix(accel, src)
+        # order active first (stable by distance), take K
+        score = jnp.where(active, d, jnp.inf)
+        idx = jnp.argsort(score, axis=-1)[..., :K]   # [Lc,Ct,K]
+        took = jnp.take_along_axis(active, idx, axis=-1)
+        return (jnp.where(took, idx, C).astype(jnp.int32),
+                active.sum(-1).max())
+
+    lists, maxima = jax.lax.map(one, lit.reshape(nc, Lc, 3))
+    return lists.reshape(nc * Lc, C, K)[:L], maxima.max()
+
+
+def required_K(accel: VisibilityAccel, lighting, source_chunk: int = 64) -> int:
     """Host-side: max active occluder clusters over all (source, target)
-    pairs, bucketed to a power of two (bounds recompilation)."""
-    _, max_active = active_cluster_lists(accel, jnp.asarray(lighting),
-                                         accel.num_clusters)
-    k = int(max_active)
+    pairs, bucketed to a power of two (bounds recompilation).  Counts only
+    (no sort), source-chunked — scales to 250k-face meshes."""
+    lighting = jnp.asarray(lighting)
+    L = lighting.shape[0]
+    Lc = min(source_chunk, L)
+    nc = math.ceil(L / Lc)
+    pad = nc * Lc - L
+    lit = jnp.pad(lighting, ((0, pad), (0, 0)), mode="edge") if pad \
+        else lighting
+
+    def one(src):
+        active, _ = _active_matrix(accel, src)
+        return active.sum(-1).max()
+
+    k = int(jax.lax.map(one, lit.reshape(nc, Lc, 3)).max())
     bucket = 1
     while bucket < k:
         bucket *= 2
