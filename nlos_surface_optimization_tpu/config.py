@@ -73,6 +73,12 @@ class RenderConfig:
     # autograd twin confirms.
     ggx_compat_dx: bool = False
 
+    # Legacy (v1) loss smoothing: box-filter the difference twice with a
+    # normalized (2*width+1)-tap box before the gradient pass
+    # (stratified_transient_raytracer/stratifiedStreamedGradientRenderer.cpp
+    # :447-462).  0 disables (the production Gaussian path).
+    loss_smooth_width: int = 0
+
     # Number of scan points rendered per jitted chunk (memory knob).
     source_chunk: int = 0  # 0 = all sources in one chunk
 

@@ -55,6 +55,7 @@ SCENES = {
     "einstein": SceneSpec("eistein", mesh_file=_mesh("einstein")),
     "skull": SceneSpec("skull", mesh_file=_mesh("skull")),
     "soap": SceneSpec("soap", mesh_file=_mesh("soap")),
+    "horse": SceneSpec("horse", mesh_file=_mesh("horse")),
     "ggx": SceneSpec("ggx", mesh_file=_mesh("bunny"), brdf="ggx"),
     "noise": SceneSpec("noise", mesh_file=_mesh("bunny")),
     # real captures: 64x64 over [-0.35, 0.35], B=2048 (exp_s/test.py:20-36)

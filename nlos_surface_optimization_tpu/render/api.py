@@ -167,6 +167,10 @@ def _difference(data, transient, weight, cfg: RenderConfig):
     d = data - transient
     if cfg.loss_flag == 1:
         d = 2.0 * d * d * d
+    if cfg.loss_smooth_width > 0:
+        from .kernels import box_smooth_difference
+
+        d = box_smooth_difference(d, cfg.loss_smooth_width)
     return d * weight
 
 
@@ -220,6 +224,22 @@ def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
                          a, cfg, spt, "vertex", accel=accel,
                          cluster_lists=cluster_lists)
     return t, g, pathlengths(cfg)
+
+
+def inverse_shading_render(mesh: Mesh, data, weight, lighting,
+                           lighting_normal, cfg: RenderConfig, key,
+                           accel=None, cluster_lists=None):
+    """(transient, vertex gradient, pathlengths) with freshly recomputed
+    interpolated vertex normals — inverseShadingRendering
+    (rendering.py:219-229: per_vertex_normal then
+    renderStreamedShadingGradient)."""
+    from ..geometry.mesh import vertex_normals
+
+    vn = vertex_normals(mesh.v, mesh.f, mesh.f_valid)
+    mesh = mesh._replace(vn=vn)
+    return inverse_render(mesh, data, weight, lighting, lighting_normal,
+                          cfg.replace(normal="vn"), key, accel=accel,
+                          cluster_lists=cluster_lists)
 
 
 def inverse_render_albedo(mesh: Mesh, data, weight, lighting, lighting_normal,

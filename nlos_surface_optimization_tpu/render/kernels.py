@@ -69,6 +69,24 @@ def jitter_convolve(hist: jnp.ndarray, weight: jnp.ndarray,
     return full[..., offset:offset + B]
 
 
+def box_smooth_difference(diff: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Legacy loss smoothing: the difference convolved TWICE with a
+    normalized box of 2*width+1 taps, 'same' alignment.
+
+    The legacy renderer (stratified_transient_raytracer/
+    stratifiedStreamedGradientRenderer.cpp:447-462) runs two MKL full
+    convolutions and windows at `width` each time, which for an odd kernel
+    is exactly a centered same-mode convolution applied twice (net effect:
+    a triangular kernel of support 4*width+1)."""
+    if width <= 0:
+        return diff
+    k = jnp.full((2 * width + 1,), 1.0 / (2 * width + 1), dtype=diff.dtype)
+    same = jnp.vectorize(
+        lambda x: jnp.convolve(x, k, mode="same"), signature="(n)->(n)"
+    )
+    return same(same(diff))
+
+
 def smooth_and_coarsen(fine_hist: jnp.ndarray, resolution: float,
                        refine: int, sigma_bin: int) -> jnp.ndarray:
     """[L, B*refine] fine histogram -> [L, B] smoothed coarse transient.
