@@ -56,7 +56,10 @@ def run_bench(res, samples, reps, vis):
     import jax
     import jax.numpy as jnp
     import nlos_surface_optimization_tpu as nst
-    from nlos_surface_optimization_tpu.render.api import _inverse_impl
+    from nlos_surface_optimization_tpu.render.api import (
+        _inverse_impl,
+        _inverse_impl_host,
+    )
 
     mesh = build_scene()
     F = int(mesh.f.shape[0])
@@ -88,11 +91,15 @@ def run_bench(res, samples, reps, vis):
     lnormal = jnp.asarray(lnormal)
     alpha = jnp.float32(0.1)
 
-    @jax.jit
+    # Host-chunked dispatch: one short XLA program per source chunk.  The
+    # serving tunnel bounds per-program wall time (a fused 64x64 iteration
+    # is one ~40 s program and gets the worker killed); chunk programs
+    # dispatch asynchronously, so only the final scalar fetch synchronizes
+    # and the timing still measures the full iteration.
     def one_iter(k):
-        t, g = _inverse_impl(mesh, data, weight, lighting, lnormal, k,
-                             alpha, cfg, spt, "vertex", accel=accel,
-                             cluster_lists=cluster_lists)
+        t, g = _inverse_impl_host(mesh, data, weight, lighting, lnormal, k,
+                                  alpha, cfg, spt, "vertex", accel=accel,
+                                  cluster_lists=cluster_lists)
         return jnp.sum(t) + jnp.sum(g)
 
     @jax.jit

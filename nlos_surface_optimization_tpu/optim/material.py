@@ -103,3 +103,64 @@ def optimize_alpha(mesh: Mesh, gt_transient, weight, lighting,
         return loss, float(g)
 
     return _scalar_adam_loop(alpha0, grad_fn, lr, T, loss_epsilon, log)
+
+
+def optimize_shape(mesh: Mesh, gt_transient, weight, lighting,
+                   lighting_normal, cfg: RenderConfig, key,
+                   lr: float = 1e-4 / 3, T: int = 50,
+                   loss_epsilon: float = 1e-4, smooth_ratio: float = 100.0,
+                   edge_lr_ratio: float = 0.1, alpha=None, log=print):
+    """Fixed-topology shape descent with Adam_Modified + normal smoothing
+    and the plateau break — the shape leg of the alternating GGX material
+    pipeline (optimize_parameters.py:80-147: inverseRendering +
+    renderStreamedNormalSmoothing + auto smooth_weight at t=0 + border
+    lr group + two-consecutive-plateau return).
+
+    Returns (mesh, plateaued, original_l2, losses)."""
+    from ..geometry.topology import border_vertices, face_affinity
+    from ..render import inverse_render, normal_smoothing
+    from .adam_modified import adam_modified
+    from .loss import evaluate_loss_with_normal_smoothness
+
+    gt = np.asarray(gt_transient)
+    w = np.asarray(weight)
+    f = np.asarray(mesh.f)
+    affinity = jnp.asarray(face_affinity(f))
+    border = border_vertices(f, int(mesh.v.shape[0]))
+    lr_scale = jnp.asarray(
+        np.where(border == 1, edge_lr_ratio, 1.0) * lr
+    )
+    opt_init, opt_update = adam_modified(lr=1.0)
+    opt_state = opt_init(mesh.v)
+
+    smooth_weight = None
+    losses, losses_o = [], []
+    original_l2 = float("nan")
+    for t in range(T):
+        k = jax.random.fold_in(key, t)
+        transient, grad, _ = inverse_render(
+            mesh, gt, w, lighting, lighting_normal, cfg, k, alpha=alpha
+        )
+        sval, sgrad = normal_smoothing(mesh.v, mesh.f, mesh.f_valid, affinity)
+        sval = float(sval)
+        if smooth_weight is None:
+            l2_0 = float(weighted_l2(gt, w, np.asarray(transient)))
+            smooth_weight = l2_0 / max(sval, 1e-300) / smooth_ratio
+            log(f"smoothness weight {smooth_weight:f}")
+        l2, original_l2 = evaluate_loss_with_normal_smoothness(
+            gt, w, np.asarray(transient), sval, smooth_weight
+        )
+        l2, original_l2 = float(l2), float(original_l2)
+        losses.append(l2)
+        losses_o.append(original_l2)
+        log(f"{t:05d} L2 {l2:.8f} old_l2 {original_l2:.8f}")
+        if t > 2:
+            if (losses_o[-2] - original_l2) / max(losses_o[-2], 1e-300) \
+                    < loss_epsilon:
+                return mesh, True, original_l2, losses
+            if (losses[-2] - l2) / max(losses[-2], 1e-300) < loss_epsilon:
+                return mesh, True, original_l2, losses
+        g = grad + smooth_weight * sgrad
+        updates, opt_state = opt_update(g, opt_state, lr_scale=lr_scale)
+        mesh = mesh._replace(v=mesh.v + updates)
+    return mesh, False, original_l2, losses

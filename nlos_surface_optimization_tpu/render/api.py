@@ -210,6 +210,70 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
     return transient, grad
 
 
+@partial(jax.jit, static_argnames=("cfg", "spt", "refine", "use_accel"))
+def _fwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, cfg: RenderConfig,
+                   spt: int, refine: int, use_accel: bool = False,
+                   accel=None, clist=None):
+    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
+                       accel=accel if use_accel else None,
+                       cluster_lists=clist)
+    return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt", "mode", "use_accel"))
+def _bwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, diff,
+                   cfg: RenderConfig, spt: int, mode: str,
+                   use_accel: bool = False, accel=None, clist=None):
+    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
+                       accel=accel if use_accel else None,
+                       cluster_lists=clist)
+    if mode == "vertex":
+        return backward_chunk(rays, mesh, nc_, diff, off, cfg, spt,
+                              alpha=alpha)
+    if mode == "albedo":
+        return backward_albedo_chunk(rays, nc_, diff, off, cfg, spt)
+    if mode == "alpha":
+        return backward_alpha_chunk(rays, nc_, diff, off, cfg, spt, alpha)
+    raise ValueError(mode)
+
+
+def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
+                       key, alpha, cfg: RenderConfig, spt: int, mode: str,
+                       accel=None, cluster_lists=None):
+    """_inverse_impl with the source-chunk loop on the HOST: one short XLA
+    program per chunk instead of one program spanning the whole scan.
+
+    Numerically identical to _inverse_impl (same chunking, same offsets,
+    same keys).  Use when a single fused program would run long enough to
+    hit dispatch/runtime execution limits (e.g. serving tunnels that bound
+    per-program wall time), or to overlap dispatch with host work — the
+    chunks dispatch asynchronously and only the final fetch synchronizes."""
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    pmesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
+    use_accel = accel is not None
+    refine = cfg.forward_refine
+
+    fine = [
+        _fwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha, cfg, spt,
+                       refine, use_accel, accel, clists(i * Lc))
+        for i in range(nc)
+    ]
+    fine = jnp.concatenate(fine, axis=0)[:L]
+    transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
+                                   cfg.sigma_bin)
+    diff = _difference(data, transient, weight, cfg)
+    pad = nc * Lc - L
+    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
+
+    grad = None
+    for i in range(nc):
+        g = _bwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
+                           diff_pad, cfg, spt, mode, use_accel, accel,
+                           clists(i * Lc))
+        grad = g if grad is None else grad + g
+    return transient, grad / float(L)
+
+
 def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
                    cfg: RenderConfig, key, alpha=None, accel=None,
                    cluster_lists=None):

@@ -136,3 +136,40 @@ def test_required_K_bounds():
     lists, max_active = active_cluster_lists(accel, jnp.asarray(lighting), K)
     assert int(max_active) <= K
     assert lists.shape == (lighting.shape[0], accel.num_clusters, K)
+
+
+def test_host_chunked_culled_matches_fused(bumpy_mesh):
+    """Host-dispatched chunk loop with broad-phase culling == fused."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import nlos_surface_optimization_tpu as nst
+    from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+    from nlos_surface_optimization_tpu.render import prepare_visibility
+    from nlos_surface_optimization_tpu.render.api import (
+        _inverse_impl,
+        _inverse_impl_host,
+    )
+
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f, dtype=np.float64)
+    cfg = nst.RenderConfig(num_samples=500, num_bins=600,
+                           distance_resolution=5e-3, source_chunk=10)
+    lighting, lnormal = nst.make_confocal_scan(6)
+    lighting = lighting.astype(np.float64)
+    lnormal = lnormal.astype(np.float64)
+    spt = cfg.samples_per_face(f.shape[0])
+    accel, lists = prepare_visibility(mesh, lighting)
+    rng = np.random.RandomState(1)
+    data = jnp.asarray(rng.rand(lighting.shape[0], cfg.num_bins))
+    w = jnp.ones_like(data)
+    key = jax.random.key(11)
+    a = jnp.float64(0.1)
+    t1, g1 = _inverse_impl(mesh, data, w, jnp.asarray(lighting),
+                           jnp.asarray(lnormal), key, a, cfg, spt, "vertex",
+                           accel=accel, cluster_lists=lists)
+    t2, g2 = _inverse_impl_host(mesh, data, w, jnp.asarray(lighting),
+                                jnp.asarray(lnormal), key, a, cfg, spt,
+                                "vertex", accel=accel, cluster_lists=lists)
+    np.testing.assert_allclose(np.array(t1), np.array(t2), rtol=1e-12)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), rtol=1e-9)

@@ -64,3 +64,23 @@ def test_optimize_alpha_descends(bumpy_mesh):
                                loss_epsilon=1e-8, log=lambda s: None)
     assert abs(a - true_alpha) < 0.1, a
     assert losses[-1] < losses[0]
+
+
+def test_optimize_shape_descends(bumpy_mesh):
+    """The shape leg of the alternating material pipeline
+    (optimize_parameters.py:80-147) lowers the data loss."""
+    from nlos_surface_optimization_tpu.optim.material import optimize_shape
+
+    mesh, cfg, lighting, lnormal = _scene(bumpy_mesh)
+    gt, _ = render_transient(mesh, lighting, lnormal, cfg, KEY)
+    gt = np.asarray(gt)
+    w = np.ones_like(gt)
+    v0 = np.asarray(mesh.v).copy()
+    v0[:, 2] += 0.008
+    m0 = mesh._replace(v=jnp.asarray(v0))
+    m2, plateaued, l2_final, losses = optimize_shape(
+        m0, gt, w, lighting, lnormal, cfg, jax.random.fold_in(KEY, 1),
+        lr=2e-3, T=10, loss_epsilon=1e-9, log=lambda s: None)
+    assert np.isfinite(l2_final)
+    assert losses[-1] < losses[0]
+    assert np.abs(np.asarray(m2.v) - v0).sum() > 0

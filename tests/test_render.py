@@ -304,3 +304,27 @@ def test_vn_shading_differs(bumpy_mesh):
         cfg.num_bins, refine=1, vn=vn.astype(np.float64),
     )
     np.testing.assert_allclose(np.array(t_vn), t_ref, rtol=3e-4, atol=1e-7)
+
+
+def test_host_chunked_inverse_matches_fused(bumpy_mesh):
+    """_inverse_impl_host (one short program per source chunk) is
+    numerically identical to the fused lax.map implementation."""
+    from nlos_surface_optimization_tpu.render.api import (
+        _inverse_impl,
+        _inverse_impl_host,
+    )
+
+    v, f = bumpy_mesh
+    mesh, cfg, lighting, lnormal, _, spt = _setup(
+        (v, f), res=6, num_samples=500, source_chunk=10)  # 36 sources, pad
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.rand(lighting.shape[0], cfg.num_bins))
+    w = jnp.asarray(rng.rand(lighting.shape[0], cfg.num_bins))
+    a = jnp.float64(0.1)
+    t1, g1 = _inverse_impl(mesh, data, w, jnp.asarray(lighting),
+                           jnp.asarray(lnormal), KEY, a, cfg, spt, "vertex")
+    t2, g2 = _inverse_impl_host(mesh, data, w, jnp.asarray(lighting),
+                                jnp.asarray(lnormal), KEY, a, cfg, spt,
+                                "vertex")
+    np.testing.assert_allclose(np.array(t1), np.array(t2), rtol=1e-12)
+    np.testing.assert_allclose(np.array(g1), np.array(g2), rtol=1e-9)
