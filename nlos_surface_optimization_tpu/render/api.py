@@ -214,19 +214,24 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
 def _fwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, cfg: RenderConfig,
                    spt: int, refine: int, use_accel: bool = False,
                    accel=None, clist=None):
+    """(fine histogram, valid mask) for one source chunk.  The valid mask is
+    returned so the backward pass can skip its (identical-by-construction)
+    occlusion re-query: ~valid is a sound occ_override because
+    valid => f_valid & in_range & ~occ & area>0 (core.trace_chunk)."""
     rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
                        accel=accel if use_accel else None,
                        cluster_lists=clist)
-    return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+    return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha), rays.valid
 
 
 @partial(jax.jit, static_argnames=("cfg", "spt", "mode", "use_accel"))
 def _bwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, diff,
                    cfg: RenderConfig, spt: int, mode: str,
-                   use_accel: bool = False, accel=None, clist=None):
+                   use_accel: bool = False, accel=None, clist=None,
+                   occ_override=None):
     rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
                        accel=accel if use_accel else None,
-                       cluster_lists=clist)
+                       cluster_lists=clist, occ_override=occ_override)
     if mode == "vertex":
         return backward_chunk(rays, mesh, nc_, diff, off, cfg, spt,
                               alpha=alpha)

@@ -55,7 +55,7 @@ class RayBatch(NamedTuple):
 
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
                 spt: int, source_offset=0, occl_ray_chunk: int = 16384,
-                accel=None, cluster_lists=None) -> RayBatch:
+                accel=None, cluster_lists=None, occ_override=None) -> RayBatch:
     """Sample points on every face from every source in the chunk and run the
     visibility query.  Mirrors streamedRayTraceTriangle's setup
     (transient_and_gradient.cpp:178-215).
@@ -64,7 +64,14 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
     already be in Morton cluster order (accel.permute_mesh) and
     `cluster_lists` [Lc, C, K] supplies each (source, target-cluster)'s
     active occluder clusters; the visibility query then runs the culled
-    narrow phase instead of brute force."""
+    narrow phase instead of brute force.
+
+    `occ_override` [Lc, F, spt] bool skips the occlusion query entirely and
+    uses the given mask: the backward pass regenerates the forward pass's
+    rays bit-for-bit (same key, same counters), so its occlusion result is
+    identical by construction and the forward mask can be reused — the
+    reference instead re-traces every ray a second time
+    (transient_and_gradient.cpp:903-920)."""
     Lc = lighting.shape[0]
     F = mesh.f.shape[0]
     v1 = mesh.v[mesh.f[:, 0]]
@@ -95,7 +102,9 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
         jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
     ).reshape(R)
 
-    if accel is not None:
+    if occ_override is not None:
+        occ = occ_override
+    elif accel is not None:
         from ..geometry.accel import (
             CLUSTER_SIZE,
             cluster_triangle_soup,
