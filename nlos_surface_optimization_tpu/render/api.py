@@ -258,12 +258,12 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     use_accel = accel is not None
     refine = cfg.forward_refine
 
-    fine = [
+    fwd = [
         _fwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha, cfg, spt,
                        refine, use_accel, accel, clists(i * Lc))
         for i in range(nc)
     ]
-    fine = jnp.concatenate(fine, axis=0)[:L]
+    fine = jnp.concatenate([h for h, _ in fwd], axis=0)[:L]
     transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
                                    cfg.sigma_bin)
     diff = _difference(data, transient, weight, cfg)
@@ -271,10 +271,13 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
 
     grad = None
-    for i in range(nc):
+    for i, (_, valid) in enumerate(fwd):
+        # ~valid is a sound occ_override: the backward regenerates the
+        # forward's rays bit-for-bit, so reusing the forward's mask skips
+        # the occlusion re-trace (see _fwd_one_chunk docstring).
         g = _bwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
                            diff_pad, cfg, spt, mode, use_accel, accel,
-                           clists(i * Lc))
+                           clists(i * Lc), occ_override=~valid)
         grad = g if grad is None else grad + g
     return transient, grad / float(L)
 
