@@ -48,18 +48,106 @@ def _load_gt_mesh(spec: SceneSpec, meshes: Optional[str]):
     return v, np.array(f, np.int32)
 
 
+def _find_capture(spec: SceneSpec, workdir: str,
+                  transient_path: Optional[str]) -> str:
+    """Locate a real scene's measured transient.mat: explicit path, then
+    workdir, then $NLOS_DATA_DIR/<scene>/ (the reference keeps them at
+    exp_s/transient.mat etc., exp_s/test.py:64)."""
+    cands = [transient_path,
+             os.path.join(workdir, spec.transient_file or "transient.mat")]
+    data_dir = os.environ.get("NLOS_DATA_DIR")
+    if data_dir:
+        cands.append(os.path.join(data_dir, spec.name,
+                                  spec.transient_file or "transient.mat"))
+    for p in cands:
+        if p and os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"no measured transient for scene '{spec.name}'; looked at "
+        f"{[c for c in cands if c]} (set NLOS_DATA_DIR or pass "
+        f"transient_path)"
+    )
+
+
+def run_real_experiment(spec: SceneSpec, workdir: str,
+                        max_iters: Optional[int],
+                        scan_resolution: Optional[int],
+                        sample_num: Optional[int],
+                        transient_path: Optional[str],
+                        key, log):
+    """Measured-capture pipeline (exp_s/test.py:55-110): load
+    transient.mat, LCT-init from the data, optimize with no GT mesh/v2.
+
+    scan_resolution (must divide the capture's N) downsamples the scan for
+    reduced-scale runs; the reference always runs the full 64x64."""
+    from ..io.mat import load_real_capture
+
+    path = _find_capture(spec, workdir, transient_path)
+    n_full = spec.scan_resolution
+    down = 1
+    if scan_resolution and scan_resolution < n_full:
+        assert n_full % scan_resolution == 0, (
+            f"scan_resolution {scan_resolution} must divide {n_full}")
+        down = n_full // scan_resolution
+    gt, lighting, res = load_real_capture(path, downsample=down)
+    log(f"loaded capture {path}: {res}x{res} scan, B={gt.shape[1]}")
+    num_bins = gt.shape[1]
+
+    if lighting is None:
+        lighting, lnormal = make_confocal_scan(
+            res, lower=spec.scan_lower, upper=spec.scan_upper
+        )
+    else:
+        lnormal = np.tile(np.array([0.0, 0.0, 1.0], np.float32),
+                          (lighting.shape[0], 1))
+
+    cfg = RenderConfig(
+        num_samples=sample_num or spec.sample_num,
+        num_bins=num_bins,
+        distance_resolution=spec.distance_resolution,
+        brdf=spec.brdf,
+        source_chunk=min(256, res * res),
+    )
+
+    log("LCT initialization from measured data")
+    width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
+    lct = lct_reconstruct(gt, width=width,
+                          bin_resolution_m=spec.distance_resolution)
+    thr = float(np.asarray(lct.albedo).max()) * 0.25
+    v0, f0 = init_mesh_from_lct(lct, threshold=thr)
+    log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
+
+    loop_cfg = LoopConfig(
+        smooth_ratio=spec.smooth_ratio,
+        loss_epsilon=spec.loss_epsilon,
+        edge_lr_ratio=spec.edge_lr_ratio,
+        gamma=spec.gamma,
+        scan_resolution=res,
+        checkpoint_dir=os.path.join(workdir, "progress"),
+    )
+    loop = InverseRenderingLoop(gt, lighting, lnormal, cfg, loop_cfg,
+                                v0, f0, key, gt_mesh=None, log=log)
+    return loop.run(max_iters=max_iters)
+
+
 def run_experiment(scene: str, workdir: str,
                    max_iters: Optional[int] = None,
                    scan_resolution: Optional[int] = None,
                    sample_num: Optional[int] = None,
                    gt_sample_num: Optional[int] = None,
                    meshes: Optional[str] = None,
+                   transient_path: Optional[str] = None,
                    key=None, log=print):
     """Run one scene end-to-end; returns (state, history)."""
     spec = SCENES[scene]
     key = jax.random.key(0) if key is None else key
     res = scan_resolution or spec.scan_resolution
     os.makedirs(workdir, exist_ok=True)
+
+    if spec.kind == "real":
+        return run_real_experiment(spec, workdir, max_iters,
+                                   scan_resolution, sample_num,
+                                   transient_path, key, log)
 
     gt_v, gt_f = _load_gt_mesh(spec, meshes)
     gt_mesh = make_mesh(gt_v, gt_f)
@@ -120,10 +208,13 @@ def main():
     ap.add_argument("--samples", type=int, default=None)
     ap.add_argument("--meshes", default=None,
                     help="directory with GT *_centered.obj assets")
+    ap.add_argument("--transient", default=None,
+                    help="measured transient.mat (real scenes)")
     args = ap.parse_args()
     run_experiment(args.scene, os.path.join(args.workdir, args.scene),
                    max_iters=args.iters, scan_resolution=args.res,
-                   sample_num=args.samples, meshes=args.meshes)
+                   sample_num=args.samples, meshes=args.meshes,
+                   transient_path=args.transient)
 
 
 if __name__ == "__main__":

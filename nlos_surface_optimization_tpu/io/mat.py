@@ -26,6 +26,59 @@ def load_transient_shards(filenames: Iterable[str], key: str = "gt_transient"
     return np.concatenate(parts, axis=0)
 
 
+def load_real_capture(path: str, zero_bins: int = 600,
+                      downsample: int = 1):
+    """Measured SPAD capture -> (transient [L,B] f64, lighting [L,3] or
+    None, scan N).
+
+    Layout contract of the reference's real scenes (exp_s/transient.mat,
+    exp_su/compute_init_su.m:36-44): key 'transient' is [N*N, B] (or
+    'rect_data' is [N, N, B]), optional 'lighting' [N*N, 3]; the first
+    `zero_bins` bins carry direct-bounce contamination and are zeroed
+    (exp_s/test.py:66-67 zeroes bins 0..599).
+
+    `downsample=k` keeps every k-th scan point along both scan axes (a
+    practical knob for reduced-scale runs; 1 = the reference's full 64x64).
+    """
+    m = scipy.io.loadmat(path)
+    if "transient" in m:
+        t = np.asarray(m["transient"], dtype=np.float64)
+        L = t.shape[0]
+        n = int(round(L ** 0.5))
+        assert n * n == L, f"scan must be square, got L={L}"
+    else:
+        rect = np.asarray(m["rect_data"], dtype=np.float64)
+        n = rect.shape[0]
+        t = rect.reshape(n * n, rect.shape[-1])
+    t[:, :zero_bins] = 0.0
+    lighting = None
+    if "lighting" in m:
+        lighting = np.asarray(m["lighting"], dtype=np.float32)
+    if downsample > 1:
+        k = downsample
+        idx = (np.arange(0, n, k)[:, None] * n
+               + np.arange(0, n, k)[None, :]).reshape(-1)
+        t = t[idx]
+        if lighting is not None:
+            lighting = lighting[idx]
+        n = len(range(0, n, k))
+    return t, lighting, n
+
+
+def load_jitter_calibration(path: str):
+    """Measured SPAD temporal-jitter kernel -> (weight [K] f64,
+    grad [K] f64, offset int).
+
+    Layout contract of jitter/jitter_info.mat (load pattern
+    jitter/test.py:60-74): 'jitter_weight' [K,1], 'jitter_grad' [K,1],
+    'jitter_offset' scalar."""
+    m = scipy.io.loadmat(path)
+    weight = np.asarray(m["jitter_weight"], dtype=np.float64).ravel()
+    grad = np.asarray(m["jitter_grad"], dtype=np.float64).ravel()
+    offset = int(np.asarray(m["jitter_offset"]).ravel()[0])
+    return weight, grad, offset
+
+
 def save_checkpoint(path: str, *, v: np.ndarray, f: np.ndarray,
                     iteration: int, rng_key: np.ndarray,
                     opt_m: Optional[np.ndarray] = None,
