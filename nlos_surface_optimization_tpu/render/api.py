@@ -174,72 +174,72 @@ def _difference(data, transient, weight, cfg: RenderConfig):
     return d * weight
 
 
+def _pad_rows(x, pad):
+    return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _fused_chunk_body(rays, mesh: Mesh, nc_, dat, w, cfg: RenderConfig,
+                      spt: int, mode: str, alpha):
+    """(transient rows, gradient) for one source chunk from an already-
+    traced RayBatch.
+
+    The difference weight*(data - T_smooth) is ROW-LOCAL per source
+    (loss_flag and the legacy box smoothing act along the bin axis only),
+    so the forward histogram, the smoothed transient, the difference and
+    the analytic backward of a chunk's sources need only that chunk's
+    rays: one trace serves both passes.  The reference instead traces
+    every path twice (transient_and_gradient.cpp:122-237 forward,
+    :843-1007 backward re-trace)."""
+    refine = cfg.forward_refine
+    fine = forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+    transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
+                                   cfg.sigma_bin)
+    diff = _difference(dat, transient, w, cfg)
+    if mode == "vertex":
+        g = backward_chunk(rays, mesh, nc_, diff, 0, cfg, spt, alpha=alpha)
+    elif mode == "albedo":
+        g = backward_albedo_chunk(rays, nc_, diff, 0, cfg, spt)
+    elif mode == "alpha":
+        g = backward_alpha_chunk(rays, nc_, diff, 0, cfg, spt, alpha)
+    else:
+        raise ValueError(mode)
+    return transient, g
+
+
 @partial(jax.jit, static_argnames=("cfg", "spt", "mode"))
 def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
                   alpha, cfg: RenderConfig, spt: int, mode: str,
                   accel=None, cluster_lists=None):
-    transient = _render_transient_impl(
-        mesh, lighting, lighting_normal, key, alpha, cfg, spt,
-        cfg.forward_refine, accel=accel, cluster_lists=cluster_lists
-    )
-    diff = _difference(data, transient, weight, cfg)
-
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
     mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
-    # Padded rows of diff (if L not divisible) must read as zero.
     pad = nc * Lc - L
-    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
+    # Padded rows carry zero weight => zero difference => zero gradient.
+    data_p = _pad_rows(jnp.asarray(data), pad).reshape(nc, Lc, cfg.num_bins)
+    weight_p = _pad_rows(jnp.asarray(weight), pad).reshape(nc, Lc,
+                                                           cfg.num_bins)
 
     def one(args):
-        lc, nc_, off = args
+        lc, nc_, off, dat, w = args
         rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
                            accel=accel, cluster_lists=clists(off))
-        if mode == "vertex":
-            return backward_chunk(rays, mesh, nc_, diff_pad, off, cfg, spt,
-                                  alpha=alpha)
-        if mode == "albedo":
-            return backward_albedo_chunk(rays, nc_, diff_pad, off, cfg, spt)
-        if mode == "alpha":
-            return backward_alpha_chunk(rays, nc_, diff_pad, off, cfg, spt,
-                                        alpha)
-        raise ValueError(mode)
+        return _fused_chunk_body(rays, mesh, nc_, dat, w, cfg, spt, mode,
+                                 alpha)
 
     offsets = jnp.arange(nc) * Lc
-    per_chunk = jax.lax.map(one, (lit, nrm, offsets))
+    t, per_chunk = jax.lax.map(one, (lit, nrm, offsets, data_p, weight_p))
+    transient = t.reshape(nc * Lc, cfg.num_bins)[:L]
     grad = per_chunk.sum(axis=0) / float(L)  # /numSources (t&g.cpp:561-565)
     return transient, grad
 
 
-@partial(jax.jit, static_argnames=("cfg", "spt", "refine", "use_accel"))
-def _fwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, cfg: RenderConfig,
-                   spt: int, refine: int, use_accel: bool = False,
-                   accel=None, clist=None):
-    """(fine histogram, valid mask) for one source chunk.  The valid mask is
-    returned so the backward pass can skip its (identical-by-construction)
-    occlusion re-query: ~valid is a sound occ_override because
-    valid => f_valid & in_range & ~occ & area>0 (core.trace_chunk)."""
+@partial(jax.jit, static_argnames=("cfg", "spt", "mode", "use_accel"))
+def _fused_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, dat, w,
+                     cfg: RenderConfig, spt: int, mode: str,
+                     use_accel: bool = False, accel=None, clist=None):
     rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
                        accel=accel if use_accel else None,
                        cluster_lists=clist)
-    return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha), rays.valid
-
-
-@partial(jax.jit, static_argnames=("cfg", "spt", "mode", "use_accel"))
-def _bwd_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, diff,
-                   cfg: RenderConfig, spt: int, mode: str,
-                   use_accel: bool = False, accel=None, clist=None,
-                   occ_override=None):
-    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
-                       accel=accel if use_accel else None,
-                       cluster_lists=clist, occ_override=occ_override)
-    if mode == "vertex":
-        return backward_chunk(rays, mesh, nc_, diff, off, cfg, spt,
-                              alpha=alpha)
-    if mode == "albedo":
-        return backward_albedo_chunk(rays, nc_, diff, off, cfg, spt)
-    if mode == "alpha":
-        return backward_alpha_chunk(rays, nc_, diff, off, cfg, spt, alpha)
-    raise ValueError(mode)
+    return _fused_chunk_body(rays, mesh, nc_, dat, w, cfg, spt, mode, alpha)
 
 
 def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
@@ -256,29 +256,21 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
     pmesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
     use_accel = accel is not None
-    refine = cfg.forward_refine
+    pad = nc * Lc - L
+    data_p = _pad_rows(jnp.asarray(data), pad).reshape(nc, Lc, cfg.num_bins)
+    weight_p = _pad_rows(jnp.asarray(weight), pad).reshape(nc, Lc,
+                                                           cfg.num_bins)
 
-    fwd = [
-        _fwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha, cfg, spt,
-                       refine, use_accel, accel, clists(i * Lc))
+    parts = [
+        _fused_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
+                         data_p[i], weight_p[i], cfg, spt, mode, use_accel,
+                         accel, clists(i * Lc))
         for i in range(nc)
     ]
-    fine = jnp.concatenate([h for h, _ in fwd], axis=0)[:L]
-    transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
-                                   cfg.sigma_bin)
-    diff = _difference(data, transient, weight, cfg)
-    pad = nc * Lc - L
-    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
-
-    grad = None
-    for i, (_, valid) in enumerate(fwd):
-        # ~valid is a sound occ_override: the backward regenerates the
-        # forward's rays bit-for-bit, so reusing the forward's mask skips
-        # the occlusion re-trace (see _fwd_one_chunk docstring).
-        g = _bwd_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
-                           diff_pad, cfg, spt, mode, use_accel, accel,
-                           clists(i * Lc), occ_override=~valid)
-        grad = g if grad is None else grad + g
+    transient = jnp.concatenate([t for t, _ in parts], axis=0)[:L]
+    grad = parts[0][1]
+    for _, g in parts[1:]:
+        grad = grad + g
     return transient, grad / float(L)
 
 
@@ -362,31 +354,38 @@ def _jitter_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
                  jitter_weight, jitter_grad, cfg: RenderConfig, spt: int,
                  jitter_offset: int, grad: bool):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
-
-    def fwd(args):
-        lc, nc_, off = args
-        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
-        return forward_chunk(rays, nc_, cfg, spt, refine=1)
-
     offsets = jnp.arange(nc) * Lc
-    hist = jax.lax.map(fwd, (lit, nrm, offsets)).reshape(nc * Lc,
-                                                         cfg.num_bins)[:L]
-    transient = jitter_convolve(hist, jitter_weight, jitter_offset)
+
     if not grad:
-        return transient, None
+        def fwd(args):
+            lc, nc_, off = args
+            rays = trace_chunk(mesh, lc, nc_, key, cfg, spt,
+                               source_offset=off)
+            return forward_chunk(rays, nc_, cfg, spt, refine=1)
 
-    diff = _difference(data, transient, weight, cfg)
+        hist = jax.lax.map(fwd, (lit, nrm, offsets)).reshape(
+            nc * Lc, cfg.num_bins)[:L]
+        return jitter_convolve(hist, jitter_weight, jitter_offset), None
+
+    # jitter_convolve and the difference are row-local per source, so one
+    # trace per chunk serves both passes (see _fused_chunk_body).
     pad = nc * Lc - L
-    diff_pad = jnp.pad(diff, ((0, pad), (0, 0))) if pad else diff
+    data_p = _pad_rows(jnp.asarray(data), pad).reshape(nc, Lc, cfg.num_bins)
+    weight_p = _pad_rows(jnp.asarray(weight), pad).reshape(nc, Lc,
+                                                           cfg.num_bins)
 
-    def bwd(args):
-        lc, nc_, off = args
+    def one(args):
+        lc, nc_, off, dat, w = args
         rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
-        return backward_jitter_chunk(rays, mesh, nc_, diff_pad, off, cfg,
-                                     spt, jitter_weight, jitter_grad,
-                                     jitter_offset)
+        hist = forward_chunk(rays, nc_, cfg, spt, refine=1)
+        transient = jitter_convolve(hist, jitter_weight, jitter_offset)
+        diff = _difference(dat, transient, w, cfg)
+        g = backward_jitter_chunk(rays, mesh, nc_, diff, 0, cfg, spt,
+                                  jitter_weight, jitter_grad, jitter_offset)
+        return transient, g
 
-    per_chunk = jax.lax.map(bwd, (lit, nrm, offsets))
+    t, per_chunk = jax.lax.map(one, (lit, nrm, offsets, data_p, weight_p))
+    transient = t.reshape(nc * Lc, cfg.num_bins)[:L]
     return transient, per_chunk.sum(axis=0) / float(L)
 
 

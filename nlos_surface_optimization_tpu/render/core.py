@@ -55,7 +55,7 @@ class RayBatch(NamedTuple):
 
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
                 spt: int, source_offset=0, occl_ray_chunk: int = 16384,
-                accel=None, cluster_lists=None, occ_override=None) -> RayBatch:
+                accel=None, cluster_lists=None) -> RayBatch:
     """Sample points on every face from every source in the chunk and run the
     visibility query.  Mirrors streamedRayTraceTriangle's setup
     (transient_and_gradient.cpp:178-215).
@@ -66,11 +66,9 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
     active occluder clusters; the visibility query then runs the culled
     narrow phase instead of brute force.
 
-    `occ_override` [Lc, F, spt] bool skips the occlusion query entirely and
-    uses the given mask: the backward pass regenerates the forward pass's
-    rays bit-for-bit (same key, same counters), so its occlusion result is
-    identical by construction and the forward mask can be reused — the
-    reference instead re-traces every ray a second time
+    The RayBatch is traced ONCE per chunk and shared by the forward splat
+    and the analytic backward (render.api._fused_chunk_body) — the
+    reference instead re-traces every path for its gradient pass
     (transient_and_gradient.cpp:903-920)."""
     Lc = lighting.shape[0]
     F = mesh.f.shape[0]
@@ -102,9 +100,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
         jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
     ).reshape(R)
 
-    if occ_override is not None:
-        occ = occ_override
-    elif accel is not None:
+    if accel is not None:
         from ..geometry.accel import (
             CLUSTER_SIZE,
             cluster_triangle_soup,
