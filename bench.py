@@ -70,7 +70,7 @@ def run_bench(res, samples, reps, vis):
         sigma_bin=1,
         bin_refine_resolution=10,
         source_chunk=64,
-        occl_backend=vis if vis in ("pallas", "mxu") else "jnp",
+        occl_backend=vis if vis in ("pallas", "mxu", "jnp") else "jnp",
     )
     lighting, lnormal = nst.make_confocal_scan(
         res, lower=(-0.25, -0.25), upper=(0.25, 0.25)
@@ -147,8 +147,9 @@ def main():
     res = int(os.environ.get("BENCH_SCAN_RES", "64"))
     samples = int(os.environ.get("BENCH_SAMPLES", "20000"))
     reps = int(os.environ.get("BENCH_REPS", "8"))
-    # visibility backend: 'jnp' | 'culled' | 'pallas'
-    vis = os.environ.get("BENCH_VIS", "culled")
+    # visibility backend: 'pallas' (fused VMEM kernel with tile skipping,
+    # the TPU fast path) | 'jnp' | 'culled' | 'mxu'
+    vis = os.environ.get("BENCH_VIS", "pallas")
 
     if os.environ.get("BENCH_SINGLE_SCALE"):
         print(json.dumps(run_bench(res, samples, reps, vis)))
@@ -193,5 +194,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # Persistent compile cache: the Mosaic kernel's first compile on this
+    # toolchain is minutes; cache it across bench processes/scales.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     main()

@@ -331,8 +331,18 @@ int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
 
     if (!hit_any) break;
     ++collision_passes;
-    for (int64_t i = 0; i < nv; ++i)
-      if (t_hit[i] <= 1.0) s[i] *= 0.9 * t_hit[i];
+    // Stop a proximity margin short of contact (El Topo keeps a minimum
+    // separation for the same reason): without the floor, repeated pushes
+    // grind the gap to zero and later surgery (collapse midpoints, relax)
+    // operates below the collision tolerances.
+    const double h_margin = 1e-3 * mean_edge;
+    for (int64_t i = 0; i < nv; ++i) {
+      if (t_hit[i] > 1.0) continue;
+      double nd = norm(d[i]);
+      double back = nd > 1e-30 ? h_margin / nd : 0.0;
+      double tstop = std::min(0.9 * t_hit[i], t_hit[i] - back);
+      s[i] *= std::max(0.0, tstop);
+    }
   }
 
   for (int64_t i = 0; i < nv; ++i) {

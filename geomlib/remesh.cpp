@@ -37,6 +37,16 @@ static inline double norm(V3 a) { return std::sqrt(dot(a, a)); }
 
 using Tri = std::array<int64_t, 3>;
 
+}  // namespace
+
+// ccd.cpp (same shared object): collision-safe integration old->new.
+extern "C" int geomlib_integrate_ccd(const double* old_v_in,
+                                     const double* new_v_in, int64_t nv,
+                                     const int32_t* f_in, int64_t nf,
+                                     double* out_v, int32_t max_passes);
+
+namespace {
+
 static inline uint64_t ekey(int64_t a, int64_t b) {
   if (a > b) std::swap(a, b);
   return (uint64_t(a) << 32) | uint64_t(b);
@@ -122,6 +132,110 @@ struct DSU {
   }
 };
 
+// ---- collapse collision guard ----------------------------------------------
+// El Topo rejects any remesh operation that would introduce a collision or
+// proximity violation (its remesher runs the full collision pipeline per
+// operation).  Collapses move two vertices to a common position; in a
+// (near-)contact region that motion can sweep through the opposing sheet.
+// Guard: reject a collapse when either vertex's path to the target crosses
+// a non-incident face, or the target lands within a proximity margin of
+// one.  Faces are looked up in a uniform grid built once per pass (query
+// boxes are inflated by the maximum collapse motion, so earlier accepted
+// collapses stay covered).
+
+struct FaceGrid {
+  double cell = 1.0;
+  V3 origin{};
+  std::unordered_map<uint64_t, std::vector<int>> cells;
+
+  static uint64_t key(int64_t x, int64_t y, int64_t z) {
+    return (uint64_t(uint32_t(x)) * 73856093u)
+         ^ (uint64_t(uint32_t(y)) * 19349663u)
+         ^ (uint64_t(uint32_t(z)) * 83492791u);
+  }
+  void insert(const V3& lo, const V3& hi, int id) {
+    int64_t x0 = (int64_t)std::floor((lo.x - origin.x) / cell);
+    int64_t y0 = (int64_t)std::floor((lo.y - origin.y) / cell);
+    int64_t z0 = (int64_t)std::floor((lo.z - origin.z) / cell);
+    int64_t x1 = (int64_t)std::floor((hi.x - origin.x) / cell);
+    int64_t y1 = (int64_t)std::floor((hi.y - origin.y) / cell);
+    int64_t z1 = (int64_t)std::floor((hi.z - origin.z) / cell);
+    for (int64_t x = x0; x <= x1; ++x)
+      for (int64_t y = y0; y <= y1; ++y)
+        for (int64_t z = z0; z <= z1; ++z)
+          cells[key(x, y, z)].push_back(id);
+  }
+  void query(const V3& lo, const V3& hi, std::vector<int>& out) const {
+    out.clear();
+    int64_t x0 = (int64_t)std::floor((lo.x - origin.x) / cell);
+    int64_t y0 = (int64_t)std::floor((lo.y - origin.y) / cell);
+    int64_t z0 = (int64_t)std::floor((lo.z - origin.z) / cell);
+    int64_t x1 = (int64_t)std::floor((hi.x - origin.x) / cell);
+    int64_t y1 = (int64_t)std::floor((hi.y - origin.y) / cell);
+    int64_t z1 = (int64_t)std::floor((hi.z - origin.z) / cell);
+    for (int64_t x = x0; x <= x1; ++x)
+      for (int64_t y = y0; y <= y1; ++y)
+        for (int64_t z = z0; z <= z1; ++z) {
+          auto it = cells.find(key(x, y, z));
+          if (it == cells.end()) continue;
+          out.insert(out.end(), it->second.begin(), it->second.end());
+        }
+    std::sort(out.begin(), out.end());
+    out.erase(std::unique(out.begin(), out.end()), out.end());
+  }
+};
+
+static bool segment_hits_tri(const V3& o, const V3& q, const V3& a,
+                             const V3& b, const V3& c) {
+  V3 d = q - o;
+  V3 e1 = b - a, e2 = c - a;
+  V3 pv = cross(d, e2);
+  double det = dot(e1, pv);
+  if (std::abs(det) < 1e-18) return false;
+  double inv = 1.0 / det;
+  V3 tv = o - a;
+  double u = dot(tv, pv) * inv;
+  if (u < 0 || u > 1) return false;
+  V3 qv = cross(tv, e1);
+  double v = dot(d, qv) * inv;
+  if (v < 0 || u + v > 1) return false;
+  double t = dot(e2, qv) * inv;
+  return t > 1e-12 && t < 1.0 - 1e-12;
+}
+
+// Run full swept CCD (vertex-face + edge-edge, ccd.cpp) for a proposed
+// vertex motion on the CURRENT topology and return the safe positions.
+static std::vector<V3> ccd_limit(const std::vector<V3>& before,
+                                 const std::vector<V3>& proposed,
+                                 const std::vector<Tri>& faces) {
+  size_t V = before.size();
+  std::vector<double> o(3 * V), n(3 * V), out(3 * V);
+  for (size_t i = 0; i < V; ++i) {
+    o[3 * i] = before[i].x; o[3 * i + 1] = before[i].y;
+    o[3 * i + 2] = before[i].z;
+    n[3 * i] = proposed[i].x; n[3 * i + 1] = proposed[i].y;
+    n[3 * i + 2] = proposed[i].z;
+  }
+  std::vector<int32_t> ff(3 * faces.size());
+  for (size_t i = 0; i < faces.size(); ++i)
+    for (int s = 0; s < 3; ++s) ff[3 * i + s] = (int32_t)faces[i][s];
+  geomlib_integrate_ccd(o.data(), n.data(), (int64_t)V, ff.data(),
+                        (int64_t)faces.size(), out.data(), 8);
+  std::vector<V3> res(V);
+  for (size_t i = 0; i < V; ++i)
+    res[i] = {out[3 * i], out[3 * i + 1], out[3 * i + 2]};
+  return res;
+}
+
+// Collapse as a batch: pick a vertex-disjoint set of short edges, propose
+// the joint motion (both endpoints -> target), run FULL swept CCD on it,
+// and only merge the collapses whose endpoints actually reached their
+// target.  A collapse drags every incident face, so per-candidate
+// path/proximity tests are not enough — only swept vertex-face + edge-edge
+// CCD catches a dragged face sweeping through the opposing sheet.  This is
+// El Topo's per-operation collision safety (c_el_topo_api.cpp:22-44
+// enables its collision pipeline) realized batch-wise; rejected collapses
+// leave their vertices untouched.
 static void collapse_short_edges(Mesh& m, double low, double high,
                                  const std::vector<int>& protect) {
   size_t V = m.v.size();
@@ -131,49 +245,71 @@ static void collapse_short_edges(Mesh& m, double low, double high,
       nbr[t[s]].insert(t[(s + 1) % 3]);
       nbr[t[(s + 1) % 3]].insert(t[s]);
     }
-  DSU dsu(V);
-  std::vector<char> alive(V, 1);
 
-  std::set<uint64_t> edges;
-  for (auto& t : m.f)
-    for (int s = 0; s < 3; ++s) edges.insert(ekey(t[s], t[(s + 1) % 3]));
+  struct Cand { double L; int64_t a, b; };
+  std::vector<Cand> cands;
+  {
+    std::set<uint64_t> edges;
+    for (auto& t : m.f)
+      for (int s = 0; s < 3; ++s) edges.insert(ekey(t[s], t[(s + 1) % 3]));
+    for (uint64_t key : edges) {
+      int64_t a = int64_t(key >> 32), b = int64_t(key & 0xffffffffu);
+      if (protect[a] && protect[b]) continue;
+      double L = norm(m.v[a] - m.v[b]);
+      if (L < low) cands.push_back({L, a, b});
+    }
+  }
+  std::sort(cands.begin(), cands.end(),
+            [](const Cand& x, const Cand& y) { return x.L < y.L; });
 
-  for (uint64_t key : edges) {
-    int64_t a = dsu.find(int64_t(key >> 32));
-    int64_t b = dsu.find(int64_t(key & 0xffffffffu));
-    if (a == b || !alive[a] || !alive[b]) continue;
-    if (protect[a] && protect[b]) continue;
-    double L = norm(m.v[a] - m.v[b]);
-    if (L >= low) continue;
+  struct Acc { int64_t keep, drop; V3 pos; };
+  std::vector<Acc> accepted;
+  std::vector<char> used(V, 0);
+  for (auto& c : cands) {
+    int64_t a = c.a, b = c.b;
+    if (used[a] || used[b]) continue;
     int64_t keep, drop;
     V3 pos;
     if (protect[a]) { keep = a; drop = b; pos = m.v[a]; }
     else if (protect[b]) { keep = b; drop = a; pos = m.v[b]; }
     else { keep = a; drop = b; pos = (m.v[a] + m.v[b]) * 0.5; }
 
-    std::unordered_set<int64_t> merged;
-    for (auto x : nbr[keep]) { int64_t r = dsu.find(x); if (r != keep && r != drop) merged.insert(r); }
-    for (auto x : nbr[drop]) { int64_t r = dsu.find(x); if (r != keep && r != drop) merged.insert(r); }
+    // no post-collapse edge may exceed `high`
     bool bad = false;
-    for (auto mv : merged)
-      if (norm(pos - m.v[mv]) > high) { bad = true; break; }
-    if (bad) continue;
-    // simplified link condition
-    std::unordered_set<int64_t> sa, shared;
-    for (auto x : nbr[keep]) sa.insert(dsu.find(x));
-    int sharedCount = 0;
-    for (auto x : nbr[drop]) {
-      int64_t r = dsu.find(x);
-      if (sa.count(r) && r != keep && r != drop && shared.insert(r).second)
-        ++sharedCount;
+    for (auto nb : {a, b}) {
+      for (auto x : nbr[nb]) {
+        if (x == a || x == b) continue;
+        if (norm(pos - m.v[x]) > high) { bad = true; break; }
+      }
+      if (bad) break;
     }
+    if (bad) continue;
+    // simplified link condition: <= 2 shared neighbors
+    int sharedCount = 0;
+    for (auto x : nbr[a])
+      if (x != a && x != b && nbr[b].count(x)) ++sharedCount;
     if (sharedCount > 2) continue;
 
-    m.v[keep] = pos;
-    dsu.p[drop] = keep;
-    alive[drop] = 0;
-    nbr[keep] = std::unordered_set<int64_t>(merged.begin(), merged.end());
-    for (auto mv : merged) { nbr[mv].erase(drop); nbr[mv].insert(keep); }
+    used[a] = used[b] = 1;
+    accepted.push_back({keep, drop, pos});
+  }
+  if (accepted.empty()) return;
+
+  std::vector<V3> proposed = m.v;
+  for (auto& acc : accepted) {
+    proposed[acc.keep] = acc.pos;
+    proposed[acc.drop] = acc.pos;
+  }
+  std::vector<V3> safe = ccd_limit(m.v, proposed, m.f);
+
+  DSU dsu(V);
+  const double tol = 1e-9 * low + 1e-14;
+  for (auto& acc : accepted) {
+    if (norm(safe[acc.keep] - acc.pos) <= tol
+        && norm(safe[acc.drop] - acc.pos) <= tol) {
+      m.v[acc.keep] = acc.pos;
+      dsu.p[acc.drop] = acc.keep;
+    }
   }
 
   std::vector<Tri> out;
@@ -226,6 +362,49 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     for (int s = 0; s < 3; ++s)
       em[ekey(m.f[i][s], m.f[i][(s + 1) % 3])].push_back({i, s});
 
+  // collision guard for flips: a flip rebuilds the quad's surface, so the
+  // new diagonal can stab other geometry in a contact region; reject a
+  // flip whose new diagonal crosses a face not touching the quad
+  FaceGrid grid;
+  {
+    double mean_edge = 0.0;
+    int64_t ne = 0;
+    for (auto& t : m.f)
+      for (int s = 0; s < 3; ++s) {
+        mean_edge += norm(m.v[t[s]] - m.v[t[(s + 1) % 3]]);
+        ++ne;
+      }
+    grid.cell = ne ? std::max(mean_edge / double(ne), 1e-12) : 1.0;
+    grid.origin = m.v.empty() ? V3{} : m.v[0];
+    for (int i = 0; i < (int)m.f.size(); ++i) {
+      V3 lo = m.v[m.f[i][0]], hi = lo;
+      for (int s = 1; s < 3; ++s) {
+        const V3& p = m.v[m.f[i][s]];
+        lo = {std::min(lo.x, p.x), std::min(lo.y, p.y), std::min(lo.z, p.z)};
+        hi = {std::max(hi.x, p.x), std::max(hi.y, p.y), std::max(hi.z, p.z)};
+      }
+      grid.insert(lo, hi, i);
+    }
+  }
+  std::vector<int> cand;
+  auto diagonal_collides = [&](int64_t a, int64_t b, int64_t c, int64_t d) {
+    V3 lo = m.v[c], hi = m.v[c];
+    const V3& q = m.v[d];
+    lo = {std::min(lo.x, q.x), std::min(lo.y, q.y), std::min(lo.z, q.z)};
+    hi = {std::max(hi.x, q.x), std::max(hi.y, q.y), std::max(hi.z, q.z)};
+    grid.query(lo, hi, cand);
+    for (int fi : cand) {
+      const Tri& t = m.f[fi];
+      bool touches = false;
+      for (int s = 0; s < 3; ++s)
+        if (t[s] == a || t[s] == b || t[s] == c || t[s] == d) touches = true;
+      if (touches) continue;
+      if (segment_hits_tri(m.v[c], m.v[d], m.v[t[0]], m.v[t[1]], m.v[t[2]]))
+        return true;
+    }
+    return false;
+  };
+
   std::unordered_set<int> touched;
   for (auto& kv : em) {
     if (kv.second.size() != 2) continue;
@@ -243,6 +422,7 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     V3 n1 = cross(m.v[d] - m.v[c], m.v[a] - m.v[c]);
     V3 n2 = cross(m.v[b] - m.v[c], m.v[d] - m.v[c]);
     if (norm(n1) < 1e-14 || norm(n2) < 1e-14 || dot(n1, n2) <= 0) continue;
+    if (diagonal_collides(a, b, c, d)) continue;
     m.f[i1] = {c, d, a};
     m.f[i2] = {d, c, b};
     valence[a]--; valence[b]--; valence[c]++; valence[d]++;
@@ -317,7 +497,11 @@ int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
     protect = protect_border ? border_flags(m)
                              : std::vector<int>(m.v.size(), 0);
     flip_edges(m, protect);
+    // CCD-guard the relaxation: it moves vertices off the surface and can
+    // fold a surface in contact through itself (tests/test_self_collision)
+    std::vector<V3> before = m.v;
     tangential_relax(m, protect, 0.5);
+    m.v = ccd_limit(before, m.v, m.f);
   }
 
   *out_nv = (int64_t)m.v.size();

@@ -82,9 +82,10 @@ class RenderConfig:
     # Number of scan points rendered per jitted chunk (memory knob).
     source_chunk: int = 0  # 0 = all sources in one chunk
 
-    # Visibility backend: 'jnp' (lax.scan over face tiles) or 'pallas'
-    # (fused VMEM-resident kernel, render/pallas_kernels.py).
-    occl_backend: str = "jnp"
+    # Visibility backend: 'auto' picks 'pallas' (fused VMEM-resident kernel
+    # with capsule/sphere tile skipping, render/pallas_kernels.py) on TPU
+    # and 'jnp' (lax.scan over face tiles) elsewhere; either can be forced.
+    occl_backend: str = "auto"
 
     # Narrow phase for the CULLED visibility path: 'mxu' casts the whole
     # Moller-Trumbore batch as one systolic-array matmul per cluster tile

@@ -91,7 +91,16 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
                           high: float, protect: np.ndarray) -> np.ndarray:
     """Collapse edges shorter than `low` to their midpoint when the result
     creates no edge longer than `high`; vertices in `protect` (borders) are
-    never moved or removed."""
+    never moved or removed.
+
+    Collision-safe (El Topo runs its collision pipeline per remesh
+    operation, c_el_topo_api.cpp:22-44): collapses are selected as a
+    vertex-disjoint batch, the joint motion (both endpoints -> target) is
+    run through FULL swept CCD on the current topology, and only collapses
+    whose endpoints actually reached the target are merged.  A collapse
+    drags every incident face, so per-candidate path tests are not enough —
+    only swept vertex-face + edge-edge CCD catches a dragged face sweeping
+    through an opposing sheet (tests/test_self_collision.py)."""
     V = len(v)
     # vertex -> neighbor set
     nbr: List[Set[int]] = [set() for _ in range(V)]
@@ -99,7 +108,6 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
         nbr[a].add(b)
         nbr[b].add(a)
     parent = np.arange(V)
-    alive = np.ones(V, bool)
 
     def find(x):
         while parent[x] != x:
@@ -107,39 +115,51 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
             x = parent[x]
         return x
 
-    em = _undirected_edge_map(f)
-    for (a, b) in list(em.keys()):
-        ra, rb = find(a), find(b)
-        if ra == rb or not (alive[ra] and alive[rb]):
+    cands = []
+    for (a, b) in _undirected_edge_map(f).keys():
+        if protect[a] and protect[b]:
             continue
-        if protect[ra] and protect[rb]:
+        L = float(np.linalg.norm(v[a] - v[b]))
+        if L < low:
+            cands.append((L, a, b))
+    cands.sort()
+
+    used = np.zeros(V, bool)
+    accepted = []  # (keep, drop, pos)
+    for L, a, b in cands:
+        if used[a] or used[b]:
             continue
-        L = float(np.linalg.norm(v[ra] - v[rb]))
-        if L >= low:
-            continue
-        # target position: midpoint, or the protected endpoint
-        if protect[ra]:
-            keep, drop, pos = ra, rb, v[ra]
-        elif protect[rb]:
-            keep, drop, pos = rb, ra, v[rb]
+        if protect[a]:
+            keep, drop, pos = a, b, v[a]
+        elif protect[b]:
+            keep, drop, pos = b, a, v[b]
         else:
-            keep, drop, pos = ra, rb, (v[ra] + v[rb]) / 2.0
-        # reject if any post-collapse edge would exceed high
-        merged = (nbr[keep] | nbr[drop]) - {keep, drop}
-        if any(np.linalg.norm(pos - v[find(m)]) > high for m in merged):
+            keep, drop, pos = a, b, (v[a] + v[b]) / 2.0
+        merged = (nbr[a] | nbr[b]) - {a, b}
+        if any(np.linalg.norm(pos - v[m]) > high for m in merged):
             continue
-        # link condition (simplified): shared neighbors must be exactly the
-        # 1 or 2 opposite vertices of the collapsed edge's faces
-        shared = {find(m) for m in nbr[keep]} & {find(m) for m in nbr[drop]}
-        if len(shared - {keep, drop}) > 2:
+        # link condition (simplified): <= 2 shared neighbors
+        if len((nbr[a] & nbr[b]) - {a, b}) > 2:
             continue
-        v[keep] = pos
-        parent[drop] = keep
-        alive[drop] = False
-        nbr[keep] = merged
-        for m in merged:
-            nbr[m].discard(drop)
-            nbr[m].add(keep)
+        used[a] = used[b] = True
+        accepted.append((keep, drop, np.asarray(pos, np.float64)))
+
+    if accepted:
+        before = np.asarray(v, np.float64)
+        proposed = before.copy()
+        for keep, drop, pos in accepted:
+            proposed[keep] = pos
+            proposed[drop] = pos
+        safe = np.asarray(
+            integrate_vertices(before, np.asarray(f, np.int32), proposed),
+            np.float64,
+        )
+        tol = 1e-9 * low + 1e-14
+        for keep, drop, pos in accepted:
+            if (np.linalg.norm(safe[keep] - pos) <= tol
+                    and np.linalg.norm(safe[drop] - pos) <= tol):
+                v[keep] = pos
+                parent[drop] = keep
 
     out = []
     for tri in f:
@@ -147,6 +167,31 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
         if len(set(t)) == 3:
             out.append(t)
     return np.asarray(out, np.int64).reshape(-1, 3)
+
+
+def _segment_hits_any(varr: np.ndarray, f: np.ndarray, o, q,
+                      exclude: Set[int]) -> bool:
+    """True when segment o->q crosses a face none of whose vertices is in
+    `exclude` (strictly interior hit)."""
+    keep = ~np.isin(np.asarray(f), list(exclude)).any(axis=1)
+    if not keep.any():
+        return False
+    tri = np.asarray(f)[keep]
+    p1 = varr[tri[:, 0]]
+    e1 = varr[tri[:, 1]] - p1
+    e2 = varr[tri[:, 2]] - p1
+    d = np.asarray(q, np.float64) - np.asarray(o, np.float64)
+    pv = np.cross(np.broadcast_to(d, e2.shape), e2)
+    det = np.einsum("ij,ij->i", e1, pv)
+    ok = np.abs(det) > 1e-18
+    inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+    tv = np.asarray(o, np.float64) - p1
+    u = np.einsum("ij,ij->i", tv, pv) * inv
+    qv = np.cross(tv, e1)
+    w = np.einsum("j,ij->i", d, qv) * inv
+    t = np.einsum("ij,ij->i", e2, qv) * inv
+    return bool((ok & (u >= 0) & (w >= 0) & (u + w <= 1)
+                 & (t > 1e-12) & (t < 1 - 1e-12)).any())
 
 
 def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
@@ -193,6 +238,11 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
             continue
         if np.dot(n1, n2) <= 0:
             continue  # would fold
+        # collision guard: the flip rebuilds the quad's surface, so reject
+        # it when the new diagonal crosses a face not touching the quad
+        # (geomlib's flip_edges applies the same test)
+        if _segment_hits_any(np.asarray(v), f, v[c], v[d], {a, b, c, d}):
+            continue
         f[i1] = [c, d, a]
         f[i2] = [d, c, b]
         valence[a] -= 1
@@ -298,7 +348,16 @@ def isotropic_remesh_py(v: np.ndarray, f: np.ndarray,
             if protect_border else np.zeros(v.shape[0], np.int32)
         vlist = [v[i].copy() for i in range(v.shape[0])]
         f = _flip_edges(vlist, f, protect)
-        v = _tangential_relax(np.asarray(vlist), f, protect)
+        before = np.asarray(vlist)
+        relaxed = _tangential_relax(before, f, protect)
+        # CCD-guard the relaxation: split/collapse/flip keep vertices on
+        # the existing surface, but relaxation moves them off it and can
+        # fold a surface in contact through itself (El Topo's remesher is
+        # collision-safe per operation; tests/test_self_collision.py).
+        v = np.asarray(
+            integrate_vertices(before, f.astype(np.int32), relaxed),
+            np.float64,
+        )
     return v.astype(np.float32), f.astype(np.int32)
 
 

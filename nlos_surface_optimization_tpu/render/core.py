@@ -100,6 +100,10 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
         jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
     ).reshape(R)
 
+    backend = cfg.occl_backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
     if accel is not None:
         from ..geometry.accel import (
             CLUSTER_SIZE,
@@ -124,7 +128,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
             C, t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
             narrow=cfg.mt_narrow,
         ).reshape(Lc, F, spt)
-    elif cfg.occl_backend == "pallas":
+    elif backend == "pallas":
         from .pallas_kernels import segment_occluded_pallas
 
         occ = segment_occluded_pallas(
@@ -142,7 +146,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
             fid = jnp.pad(fid, (0, pad))
 
         occ_fn = segment_occluded
-        if cfg.occl_backend == "mxu":
+        if backend == "mxu":
             from ..geometry.intersect import segment_occluded_mxu
             occ_fn = segment_occluded_mxu
 

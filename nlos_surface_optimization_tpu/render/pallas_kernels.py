@@ -2,17 +2,28 @@
 
 segment_occluded_pallas: the visibility query (nearest-hit == sampled-face
 re-expressed as segment occlusion, geometry/intersect.py) as a fused
-kernel.  The jnp path scans face tiles with lax.scan, whose carry and ray
-tensors round-trip HBM between iterations; here each (ray-block x
-face-tile) grid cell runs Möller–Trumbore entirely in VMEM with the
-triangle soup resident on-chip, accumulating the occlusion mask across the
-face-tile grid axis.
+kernel.  The jnp path scans face tiles with lax.scan, whose [R, tile]
+Möller–Trumbore intermediates round-trip HBM between fusions; here each
+(ray-block x face-tile) grid cell runs MT entirely in VMEM, accumulating
+the occlusion mask across the face-tile grid axis.
 
-Layout: all per-(ray, face) planes are [BLOCK_R, TILE_F] with TILE_F=128
-lanes (VPU lane width); vector components are kept as separate planes so
-every op is a broadcasted elementwise multiply/add (no gather, no
-transpose).  Cites: reference visibility semantics
-transient_and_gradient.cpp:199-206.
+Two design points that matter on this hardware:
+
+  * Layout: per-(ray, face) planes are [BLOCK_R, TILE_F] with TILE_F=128
+    lanes; triangle data arrives PRE-TRANSPOSED as [16, F] so each
+    component is a native (1, TILE_F) sublane slice — the [F, 9]-column
+    variant forces a cross-lane relayout per component that this Mosaic
+    toolchain compiles pathologically (observed: non-terminating compile).
+  * Tile skipping: each grid cell first tests the face tile's bounding
+    sphere against the ray block's bounding capsule (segment between the
+    block's origin- and endpoint-sphere centers, radius = max of the two
+    sphere radii + tile radius); on a miss the whole MT body is skipped
+    via pl.when.  This is a dense two-level broad phase: exact (the
+    capsule contains every segment of the block, so a sphere miss proves
+    no face of the tile can occlude) and data-dependent only in *time*,
+    never in shape.
+
+Cites: reference visibility semantics transient_and_gradient.cpp:199-206.
 """
 
 from __future__ import annotations
@@ -29,65 +40,123 @@ BLOCK_R = 512
 TILE_F = 128
 
 
-def _occl_kernel(o_ref, d_ref, t_ref, fid_ref, tri_ref, valid_ref, out_ref,
-                 *, t_rel, t_min, eps_det):
+def _occl_kernel(meta_ref, sph_ref, o_ref, d_ref, t_ref, fid_ref, tri_ref,
+                 out_ref, *, t_rel, t_min, eps_det):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    o = o_ref[:]          # [R, 3]
-    d = d_ref[:]          # [R, 3]
-    tsf = t_ref[:]        # [R, 1]
-    sfid = fid_ref[:]     # [R, 1] int32
-    tri = tri_ref[:]      # [TILE_F, 9] = p1 | e1 | e2
-    val = valid_ref[:]    # [TILE_F, 1] int32
+    # --- capsule-vs-sphere prefilter (scalar math from SMEM; meta/sph are
+    # scalar-prefetch args: FULL arrays indexed by the grid position) -----
+    ocx, ocy, ocz = meta_ref[i, 0], meta_ref[i, 1], meta_ref[i, 2]
+    pcx, pcy, pcz = meta_ref[i, 3], meta_ref[i, 4], meta_ref[i, 5]
+    block_r = meta_ref[i, 6]
+    cx, cy, cz, cr = sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2], sph_ref[j, 3]
+    abx, aby, abz = pcx - ocx, pcy - ocy, pcz - ocz
+    ab2 = abx * abx + aby * aby + abz * abz
+    tt = (cx - ocx) * abx + (cy - ocy) * aby + (cz - ocz) * abz
+    tt = jnp.clip(tt / jnp.maximum(ab2, 1e-30), 0.0, 1.0)
+    qx = cx - (ocx + tt * abx)
+    qy = cy - (ocy + tt * aby)
+    qz = cz - (ocz + tt * abz)
+    d2 = qx * qx + qy * qy + qz * qz
+    reach = cr + block_r
 
-    def col(m, k):  # [R,1] ray component
-        return m[:, k:k + 1]
+    @pl.when(d2 <= reach * reach)
+    def _():
+        o = o_ref[:]          # [R, 3]
+        d = d_ref[:]          # [R, 3]
+        tsf = t_ref[:]        # [R, 1]
+        sfid = fid_ref[:]     # [R, 1] int32
 
-    def trow(k):    # [1,TILE_F] triangle component
-        return tri[:, k].reshape(1, TILE_F)
+        def col(m, k):        # [R, 1] ray component
+            return m[:, k:k + 1]
 
-    dx, dy, dz = col(d, 0), col(d, 1), col(d, 2)
-    ox, oy, oz = col(o, 0), col(o, 1), col(o, 2)
-    p1x, p1y, p1z = trow(0), trow(1), trow(2)
-    e1x, e1y, e1z = trow(3), trow(4), trow(5)
-    e2x, e2y, e2z = trow(6), trow(7), trow(8)
+        def trow(k):          # [1, TILE_F] triangle component (sublane slice)
+            return tri_ref[k:k + 1, :]
 
-    # pvec = cross(d, e2):   [R, TILE_F] planes
-    pvx = dy * e2z - dz * e2y
-    pvy = dz * e2x - dx * e2z
-    pvz = dx * e2y - dy * e2x
-    det = e1x * pvx + e1y * pvy + e1z * pvz
-    inv = jnp.where(jnp.abs(det) > eps_det, 1.0 / det, 0.0)
+        dx, dy, dz = col(d, 0), col(d, 1), col(d, 2)
+        ox, oy, oz = col(o, 0), col(o, 1), col(o, 2)
+        p1x, p1y, p1z = trow(0), trow(1), trow(2)
+        e1x, e1y, e1z = trow(3), trow(4), trow(5)
+        e2x, e2y, e2z = trow(6), trow(7), trow(8)
+        val = trow(9)
 
-    tvx = ox - p1x
-    tvy = oy - p1y
-    tvz = oz - p1z
-    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        # pvec = cross(d, e2):   [R, TILE_F] planes
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv = jnp.where(jnp.abs(det) > eps_det, 1.0 / det, 0.0)
 
-    # qvec = cross(tvec, e1)
-    qvx = tvy * e1z - tvz * e1y
-    qvy = tvz * e1x - tvx * e1z
-    qvz = tvx * e1y - tvy * e1x
-    v = (dx * qvx + dy * qvy + dz * qvz) * inv
-    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        tvx = ox - p1x
+        tvy = oy - p1y
+        tvz = oz - p1z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
 
-    fid = (j * TILE_F
-           + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_F), 1))
-    t_cut = tsf * (1.0 - t_rel)
+        # qvec = cross(tvec, e1)
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
 
-    blocked = (
-        (jnp.abs(det) > eps_det)
-        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (val.reshape(1, TILE_F) != 0)
-        & (t > t_min) & (t < t_cut)
-        & (fid != sfid)
-    )
-    any_blocked = jnp.any(blocked, axis=1, keepdims=True)
-    out_ref[:] = out_ref[:] | any_blocked
+        fid = (j * TILE_F
+               + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_F), 1))
+        t_cut = tsf * (1.0 - t_rel)
+
+        blocked = (
+            (jnp.abs(det) > eps_det)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (val > 0.5)
+            & (t > t_min) & (t < t_cut)
+            & (fid != sfid)
+        )
+        any_blocked = jnp.any(blocked, axis=1, keepdims=True)
+        out_ref[:] = out_ref[:] | any_blocked
+
+
+def _block_capsules(o, d, t_self, nb):
+    """[NB, 8] f32: per ray-block (origin-sphere center, endpoint-sphere
+    center, max radius, pad).  AABB-center bounding spheres."""
+    p = o + d * t_self[:, None]
+    ob = o.reshape(nb, BLOCK_R, 3)
+    pb = p.reshape(nb, BLOCK_R, 3)
+
+    def sphere(x):
+        lo = x.min(axis=1)
+        hi = x.max(axis=1)
+        c = 0.5 * (lo + hi)
+        r = jnp.linalg.norm(x - c[:, None, :], axis=-1).max(axis=1)
+        return c, r
+
+    oc, orad = sphere(ob)
+    pc, prad = sphere(pb)
+    rr = jnp.maximum(orad, prad)
+    return jnp.concatenate(
+        [oc, pc, rr[:, None], jnp.zeros((nb, 1), oc.dtype)], axis=1
+    ).astype(jnp.float32)
+
+
+def _tile_spheres(v, f, f_valid, nt):
+    """[NT, 4] f32 bounding spheres over each face tile's VALID vertices;
+    tiles with no valid face get radius -inf (always skipped)."""
+    verts = v[f].astype(jnp.float32).reshape(nt, TILE_F, 3, 3)
+    val = f_valid.reshape(nt, TILE_F)
+    big = 1e30
+    w = val[..., None, None]
+    lo = jnp.where(w, verts, big).min(axis=(1, 2))
+    hi = jnp.where(w, verts, -big).max(axis=(1, 2))
+    c = 0.5 * (lo + hi)
+    dist = jnp.linalg.norm(verts - c[:, None, None, :], axis=-1)
+    r = jnp.where(val[..., None], dist, -big).max(axis=(1, 2))
+    any_valid = val.any(axis=1)
+    c = jnp.where(any_valid[:, None], c, 0.0)
+    r = jnp.where(any_valid, r, -big)
+    return jnp.concatenate([c, r[:, None]], axis=1)
 
 
 @functools.partial(jax.jit,
@@ -104,20 +173,25 @@ def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
     p1 = v[f[:, 0]].astype(dt)
     e1 = (v[f[:, 1]] - v[f[:, 0]]).astype(dt)
     e2 = (v[f[:, 2]] - v[f[:, 0]]).astype(dt)
-    tri = jnp.concatenate([p1, e1, e2], axis=1)          # [F, 9]
-    tri = jnp.pad(tri, ((0, Fp - F), (0, 0)))
-    valid = jnp.pad(f_valid.astype(jnp.int32), (0, Fp - F)).reshape(Fp, 1)
+    tri = jnp.concatenate([p1, e1, e2, f_valid.astype(dt)[:, None]], axis=1)
+    # [16, Fp]: transposed so the kernel slices components along sublanes
+    tri_t = jnp.pad(tri.T, ((0, 6), (0, Fp - F)))
 
     o_p = jnp.pad(o.astype(dt), ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d.astype(dt), ((0, Rp - R), (0, 0)), constant_values=1.0)
-    t_p = jnp.pad(t_self.astype(dt), (0, Rp - R)).reshape(Rp, 1)
-    fid_p = jnp.pad(self_fid.astype(jnp.int32), (0, Rp - R)).reshape(Rp, 1)
+    t_p = jnp.pad(t_self.astype(dt), (0, Rp - R))
+    fid_p = jnp.pad(self_fid.astype(jnp.int32), (0, Rp - R))
 
-    grid = (Rp // BLOCK_R, Fp // TILE_F)
-    out = pl.pallas_call(
-        functools.partial(_occl_kernel, t_rel=t_rel, t_min=t_min,
-                          eps_det=1e-12),
-        grid=grid,
+    nb = Rp // BLOCK_R
+    nt = Fp // TILE_F
+    meta = _block_capsules(o_p, d_p, t_p, nb)
+    fv_p = jnp.pad(f_valid, (0, Fp - F))
+    f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
+    sph = _tile_spheres(v, f_pad, fv_p, nt)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # meta, sph: full arrays in SMEM
+        grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((BLOCK_R, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -127,14 +201,17 @@ def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_R, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_F, 9), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_F, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((16, TILE_F), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK_R, 1), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_occl_kernel, t_rel=t_rel, t_min=t_min,
+                          eps_det=1e-12),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.bool_),
         interpret=interpret,
-    )(o_p, d_p, t_p, fid_p, tri, valid)
+    )(meta, sph, o_p, d_p, t_p.reshape(Rp, 1), fid_p.reshape(Rp, 1), tri_t)
     return out[:R, 0]
