@@ -65,7 +65,10 @@ def _occl_kernel(meta_ref, sph_ref, o_ref, d_ref, t_ref, fid_ref, tri_ref,
     d2 = qx * qx + qy * qy + qz * qz
     reach = cr + block_r
 
-    @pl.when(d2 <= reach * reach)
+    # reach < 0 marks an all-padding face tile (sentinel radius); a signed
+    # guard is required because reach*reach would overflow f32 to +inf and
+    # defeat the skip entirely (d2 >= 0 always).
+    @pl.when((reach >= 0.0) & (d2 <= reach * reach))
     def _():
         o = o_ref[:]          # [R, 3]
         d = d_ref[:]          # [R, 3]
@@ -189,22 +192,24 @@ def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
     f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
     sph = _tile_spheres(v, f_pad, fv_p, nt)
 
+    # NOTE: with num_scalar_prefetch=2 every index_map receives the two
+    # scalar-prefetch refs appended to the grid indices — (i, j, meta, sph).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # meta, sph: full arrays in SMEM
         grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((BLOCK_R, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((BLOCK_R, 3), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 3), lambda i, j: (i, 0),
+            pl.BlockSpec((BLOCK_R, 3), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((BLOCK_R, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((BLOCK_R, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, TILE_F), lambda i, j: (0, j),
+            pl.BlockSpec((16, TILE_F), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_R, 1), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((BLOCK_R, 1), lambda i, j, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
