@@ -295,21 +295,38 @@ static void collapse_short_edges(Mesh& m, double low, double high,
   }
   if (accepted.empty()) return;
 
-  std::vector<V3> proposed = m.v;
-  for (auto& acc : accepted) {
-    proposed[acc.keep] = acc.pos;
-    proposed[acc.drop] = acc.pos;
+  // CCD-validate the batch, then iterate: rejected collapses revert to
+  // their STATIC original positions, which changes the motion the accepted
+  // set must clear — re-test the accepted-only proposal until the accepted
+  // set is stable, so no accepted collapse sweeps through geometry a
+  // rejected one left behind.
+  const double tol = 1e-9 * low + 1e-14;
+  std::vector<char> ok(accepted.size(), 1);
+  for (int pass = 0; pass < 8; ++pass) {
+    std::vector<V3> proposed = m.v;
+    for (size_t k = 0; k < accepted.size(); ++k)
+      if (ok[k]) {
+        proposed[accepted[k].keep] = accepted[k].pos;
+        proposed[accepted[k].drop] = accepted[k].pos;
+      }
+    std::vector<V3> safe = ccd_limit(m.v, proposed, m.f);
+    bool changed = false;
+    for (size_t k = 0; k < accepted.size(); ++k) {
+      if (!ok[k]) continue;
+      if (norm(safe[accepted[k].keep] - accepted[k].pos) > tol
+          || norm(safe[accepted[k].drop] - accepted[k].pos) > tol) {
+        ok[k] = 0;
+        changed = true;
+      }
+    }
+    if (!changed) break;
   }
-  std::vector<V3> safe = ccd_limit(m.v, proposed, m.f);
 
   DSU dsu(V);
-  const double tol = 1e-9 * low + 1e-14;
-  for (auto& acc : accepted) {
-    if (norm(safe[acc.keep] - acc.pos) <= tol
-        && norm(safe[acc.drop] - acc.pos) <= tol) {
-      m.v[acc.keep] = acc.pos;
-      dsu.p[acc.drop] = acc.keep;
-    }
+  for (size_t k = 0; k < accepted.size(); ++k) {
+    if (!ok[k]) continue;
+    m.v[accepted[k].keep] = accepted[k].pos;
+    dsu.p[accepted[k].drop] = accepted[k].keep;
   }
 
   std::vector<Tri> out;
@@ -428,6 +445,19 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     valence[a]--; valence[b]--; valence[c]++; valence[d]++;
     touched.insert(i1);
     touched.insert(i2);
+    // keep the collision grid current: the rebuilt triangles' bounding
+    // boxes now include vertex d (resp. c), which the stale entries may
+    // not cover; duplicate ids are harmless (query dedupes, vertices are
+    // re-read at test time).
+    for (int fi : {i1, i2}) {
+      V3 lo = m.v[m.f[fi][0]], hi = lo;
+      for (int s = 1; s < 3; ++s) {
+        const V3& p = m.v[m.f[fi][s]];
+        lo = {std::min(lo.x, p.x), std::min(lo.y, p.y), std::min(lo.z, p.z)};
+        hi = {std::max(hi.x, p.x), std::max(hi.y, p.y), std::max(hi.z, p.z)};
+      }
+      grid.insert(lo, hi, fi);
+    }
   }
 }
 

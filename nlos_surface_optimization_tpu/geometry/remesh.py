@@ -145,19 +145,34 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
         accepted.append((keep, drop, np.asarray(pos, np.float64)))
 
     if accepted:
+        # Iterate the batch CCD: a rejected collapse reverts to its STATIC
+        # original position, changing the motion the remaining accepted set
+        # must clear, so re-test the accepted-only proposal until stable.
         before = np.asarray(v, np.float64)
-        proposed = before.copy()
-        for keep, drop, pos in accepted:
-            proposed[keep] = pos
-            proposed[drop] = pos
-        safe = np.asarray(
-            integrate_vertices(before, np.asarray(f, np.int32), proposed),
-            np.float64,
-        )
         tol = 1e-9 * low + 1e-14
-        for keep, drop, pos in accepted:
-            if (np.linalg.norm(safe[keep] - pos) <= tol
-                    and np.linalg.norm(safe[drop] - pos) <= tol):
+        ok = [True] * len(accepted)
+        for _ in range(8):
+            proposed = before.copy()
+            for flag, (keep, drop, pos) in zip(ok, accepted):
+                if flag:
+                    proposed[keep] = pos
+                    proposed[drop] = pos
+            safe = np.asarray(
+                integrate_vertices(before, np.asarray(f, np.int32), proposed),
+                np.float64,
+            )
+            changed = False
+            for k, (keep, drop, pos) in enumerate(accepted):
+                if not ok[k]:
+                    continue
+                if (np.linalg.norm(safe[keep] - pos) > tol
+                        or np.linalg.norm(safe[drop] - pos) > tol):
+                    ok[k] = False
+                    changed = True
+            if not changed:
+                break
+        for flag, (keep, drop, pos) in zip(ok, accepted):
+            if flag:
                 v[keep] = pos
                 parent[drop] = keep
 

@@ -41,13 +41,15 @@ def load_real_capture(path: str, zero_bins: int = 600,
     practical knob for reduced-scale runs; 1 = the reference's full 64x64).
     """
     m = scipy.io.loadmat(path)
+    # np.array (not asarray): forces a copy so the in-place bin zeroing
+    # below can never alias loadmat's buffer.
     if "transient" in m:
-        t = np.asarray(m["transient"], dtype=np.float64)
+        t = np.array(m["transient"], dtype=np.float64)
         L = t.shape[0]
         n = int(round(L ** 0.5))
         assert n * n == L, f"scan must be square, got L={L}"
     else:
-        rect = np.asarray(m["rect_data"], dtype=np.float64)
+        rect = np.array(m["rect_data"], dtype=np.float64)
         n = rect.shape[0]
         t = rect.reshape(n * n, rect.shape[-1])
     t[:, :zero_bins] = 0.0
