@@ -130,6 +130,57 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
     return loop.run(max_iters=max_iters)
 
 
+def _find_jitter_calibration(workdir: str):
+    """(jitters_s, counts) for the SPAD model: measured jitter.mat when
+    available (exp_noise/noise/jitter.mat layout: t_1 seconds, counts_1),
+    else a synthetic ~60 ps-FWHM Gaussian histogram at the SPAD's 4 ps
+    resolution (same shape as the measured calibration)."""
+    import scipy.io
+
+    cands = [os.path.join(workdir, "jitter.mat")]
+    data_dir = os.environ.get("NLOS_DATA_DIR")
+    if data_dir:
+        cands.append(os.path.join(data_dir, "noise", "jitter.mat"))
+    for p in cands:
+        if os.path.exists(p):
+            m = scipy.io.loadmat(p)
+            return (np.asarray(m["t_1"]).ravel(),
+                    np.asarray(m["counts_1"]).ravel())
+    # Synthetic stand-in mirroring the measured calibration's envelope
+    # (901 samples over [-84 ps, 650 ps], Gaussian core + diffusion tail,
+    # total counts ~3.6e6).  The absolute scale matters: spadModel.m's
+    # background rate divides muNoise*M by sum(jitterCounts) and
+    # multiplies by numBins/length(jittersAll), so a miscalibrated sum
+    # changes the signal-to-background ratio of the whole experiment.
+    t = np.linspace(-84e-12, 650e-12, 901)
+    sigma = 25e-12
+    core = np.exp(-0.5 * (t / sigma) ** 2)
+    tail = 0.02 * np.exp(-np.maximum(t, 0.0) / 150e-12)
+    counts = core + tail
+    counts *= 3.57e6 / counts.sum()
+    return t, counts
+
+
+def _apply_spad_noise(gt: np.ndarray, spec: SceneSpec, workdir: str, key,
+                      num_photons: Optional[int], log) -> np.ndarray:
+    """Push ideal GT transients through the SPAD photon model, Scaled
+    variant, and rescale counts back to the ideal energy — exactly
+    addNoiseExample.m:20-24 (spadModelScaled(...)/M*sum(transient))."""
+    from ..noise.spad import SpadParams, spad_noisy_transients
+
+    jitters_s, counts = _find_jitter_calibration(workdir)
+    params = SpadParams(
+        num_photons=num_photons or spec.spad_photons,
+        mu_noise=spec.spad_mu_noise,
+        pileup=False,  # spadModelScaled semantics (spadModelScaled.m:44-45)
+    )
+    log(f"injecting SPAD noise: M={params.num_photons} "
+        f"muNoise={params.mu_noise}")
+    noisy = spad_noisy_transients(jax.random.fold_in(key, 777), gt,
+                                  jitters_s, counts, params, rescale=True)
+    return np.asarray(noisy, np.float64)
+
+
 def run_experiment(scene: str, workdir: str,
                    max_iters: Optional[int] = None,
                    scan_resolution: Optional[int] = None,
@@ -137,6 +188,7 @@ def run_experiment(scene: str, workdir: str,
                    gt_sample_num: Optional[int] = None,
                    meshes: Optional[str] = None,
                    transient_path: Optional[str] = None,
+                   spad_photons: Optional[int] = None,
                    key=None, log=print):
     """Run one scene end-to-end; returns (state, history)."""
     spec = SCENES[scene]
@@ -165,6 +217,9 @@ def run_experiment(scene: str, workdir: str,
             key=key,
         )
     gt = load_transient_shards(files)
+
+    if spec.spad_noise:
+        gt = _apply_spad_noise(gt, spec, workdir, key, spad_photons, log)
 
     cfg = RenderConfig(
         num_samples=sample_num or spec.sample_num,

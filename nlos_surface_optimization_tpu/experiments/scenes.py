@@ -40,6 +40,11 @@ class SceneSpec:
     loss_epsilon: float = 1e-4
     brdf: str = "lambertian"
     ggx_alpha: float = 0.2
+    # exp_noise: GT transients are pushed through the SPAD photon model
+    # (Scaled variant) before optimization (addNoiseExample.m:1-40)
+    spad_noise: bool = False
+    spad_mu_noise: float = 10_000.0   # addNoiseExample.m:6
+    spad_photons: int = 20_000        # addNoiseExample.m:8
 
 
 def _mesh(name: str) -> str:
@@ -57,7 +62,7 @@ SCENES = {
     "soap": SceneSpec("soap", mesh_file=_mesh("soap")),
     "horse": SceneSpec("horse", mesh_file=_mesh("horse")),
     "ggx": SceneSpec("ggx", mesh_file=_mesh("bunny"), brdf="ggx"),
-    "noise": SceneSpec("noise", mesh_file=_mesh("bunny")),
+    "noise": SceneSpec("noise", mesh_file=_mesh("bunny"), spad_noise=True),
     # real captures: 64x64 over [-0.35, 0.35], B=2048 (exp_s/test.py:20-36)
     "s": SceneSpec("s", kind="real", transient_file="transient.mat",
                    scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),

@@ -50,11 +50,15 @@ def _occl_kernel(meta_ref, sph_ref, o_ref, d_ref, t_ref, fid_ref, tri_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     # --- capsule-vs-sphere prefilter (scalar math from SMEM; meta/sph are
-    # scalar-prefetch args: FULL arrays indexed by the grid position) -----
-    ocx, ocy, ocz = meta_ref[i, 0], meta_ref[i, 1], meta_ref[i, 2]
-    pcx, pcy, pcz = meta_ref[i, 3], meta_ref[i, 4], meta_ref[i, 5]
-    block_r = meta_ref[i, 6]
-    cx, cy, cz, cr = sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2], sph_ref[j, 3]
+    # scalar-prefetch args: FULL arrays indexed by the grid position).
+    # Both are FLAT 1-D: SMEM pads the last axis to 128 lanes, so a
+    # [nb, 8] layout would cost 16x its size and blow the 1 MB SMEM
+    # budget at flagship ray counts. --------------------------------------
+    ocx, ocy, ocz = meta_ref[i * 8 + 0], meta_ref[i * 8 + 1], meta_ref[i * 8 + 2]
+    pcx, pcy, pcz = meta_ref[i * 8 + 3], meta_ref[i * 8 + 4], meta_ref[i * 8 + 5]
+    block_r = meta_ref[i * 8 + 6]
+    cx, cy, cz = sph_ref[j * 4 + 0], sph_ref[j * 4 + 1], sph_ref[j * 4 + 2]
+    cr = sph_ref[j * 4 + 3]
     abx, aby, abz = pcx - ocx, pcy - ocy, pcz - ocz
     ab2 = abx * abx + aby * aby + abz * abz
     tt = (cx - ocx) * abx + (cy - ocy) * aby + (cz - ocz) * abz
@@ -162,40 +166,24 @@ def _tile_spheres(v, f, f_valid, nt):
     return jnp.concatenate([c, r[:, None]], axis=1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("t_rel", "t_min", "interpret"))
-def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
-                            t_rel=1e-4, t_min=1e-6, interpret=False):
-    """Drop-in for geometry.intersect.segment_occluded (same semantics)."""
-    R = o.shape[0]
-    F = f.shape[0]
-    Rp = pl.cdiv(R, BLOCK_R) * BLOCK_R
-    Fp = pl.cdiv(F, TILE_F) * TILE_F
+# Cap on ray blocks per pallas_call: the flat capsule metadata lives in
+# SMEM (8 f32 per block), and SMEM is ~1 MB/core shared with everything
+# else.  4096 blocks = 128 KB of capsules = 2M rays per call; larger ray
+# sets run as an outer lax.map over groups.
+MAX_NB = 4096
 
-    dt = jnp.float32
-    p1 = v[f[:, 0]].astype(dt)
-    e1 = (v[f[:, 1]] - v[f[:, 0]]).astype(dt)
-    e2 = (v[f[:, 2]] - v[f[:, 0]]).astype(dt)
-    tri = jnp.concatenate([p1, e1, e2, f_valid.astype(dt)[:, None]], axis=1)
-    # [16, Fp]: transposed so the kernel slices components along sublanes
-    tri_t = jnp.pad(tri.T, ((0, 6), (0, Fp - F)))
 
-    o_p = jnp.pad(o.astype(dt), ((0, Rp - R), (0, 0)))
-    d_p = jnp.pad(d.astype(dt), ((0, Rp - R), (0, 0)), constant_values=1.0)
-    t_p = jnp.pad(t_self.astype(dt), (0, Rp - R))
-    fid_p = jnp.pad(self_fid.astype(jnp.int32), (0, Rp - R))
-
+def _occl_call(o_p, d_p, t_p, fid_p, tri_t, sph_flat, nt,
+               t_rel, t_min, interpret):
+    """One pallas_call over [Rp] padded rays (Rp multiple of BLOCK_R)."""
+    Rp = o_p.shape[0]
     nb = Rp // BLOCK_R
-    nt = Fp // TILE_F
-    meta = _block_capsules(o_p, d_p, t_p, nb)
-    fv_p = jnp.pad(f_valid, (0, Fp - F))
-    f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
-    sph = _tile_spheres(v, f_pad, fv_p, nt)
+    meta = _block_capsules(o_p, d_p, t_p, nb).reshape(-1)
 
     # NOTE: with num_scalar_prefetch=2 every index_map receives the two
     # scalar-prefetch refs appended to the grid indices — (i, j, meta, sph).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # meta, sph: full arrays in SMEM
+        num_scalar_prefetch=2,   # meta, sph: FLAT arrays in SMEM
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((BLOCK_R, 3), lambda i, j, *_: (i, 0),
@@ -218,5 +206,54 @@ def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.bool_),
         interpret=interpret,
-    )(meta, sph, o_p, d_p, t_p.reshape(Rp, 1), fid_p.reshape(Rp, 1), tri_t)
-    return out[:R, 0]
+    )(meta, sph_flat, o_p, d_p, t_p.reshape(Rp, 1), fid_p.reshape(Rp, 1),
+      tri_t)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t_rel", "t_min", "interpret"))
+def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
+                            t_rel=1e-4, t_min=1e-6, interpret=False):
+    """Drop-in for geometry.intersect.segment_occluded (same semantics)."""
+    R = o.shape[0]
+    F = f.shape[0]
+    nb_total = pl.cdiv(R, BLOCK_R)
+    ng = pl.cdiv(nb_total, MAX_NB)
+    gnb = pl.cdiv(nb_total, ng)          # blocks per group
+    Rp = ng * gnb * BLOCK_R
+    Fp = pl.cdiv(F, TILE_F) * TILE_F
+
+    dt = jnp.float32
+    p1 = v[f[:, 0]].astype(dt)
+    e1 = (v[f[:, 1]] - v[f[:, 0]]).astype(dt)
+    e2 = (v[f[:, 2]] - v[f[:, 0]]).astype(dt)
+    tri = jnp.concatenate([p1, e1, e2, f_valid.astype(dt)[:, None]], axis=1)
+    # [16, Fp]: transposed so the kernel slices components along sublanes
+    tri_t = jnp.pad(tri.T, ((0, 6), (0, Fp - F)))
+
+    o_p = jnp.pad(o.astype(dt), ((0, Rp - R), (0, 0)))
+    d_p = jnp.pad(d.astype(dt), ((0, Rp - R), (0, 0)), constant_values=1.0)
+    t_p = jnp.pad(t_self.astype(dt), (0, Rp - R))
+    fid_p = jnp.pad(self_fid.astype(jnp.int32), (0, Rp - R))
+
+    nt = Fp // TILE_F
+    fv_p = jnp.pad(f_valid, (0, Fp - F))
+    f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
+    sph_flat = _tile_spheres(v, f_pad, fv_p, nt).reshape(-1)
+
+    if ng == 1:
+        out = _occl_call(o_p, d_p, t_p, fid_p, tri_t, sph_flat, nt,
+                         t_rel, t_min, interpret)
+        return out[:R, 0]
+
+    gR = gnb * BLOCK_R
+
+    def one(args):
+        og, dg, tg, fg = args
+        return _occl_call(og, dg, tg, fg, tri_t, sph_flat, nt,
+                          t_rel, t_min, interpret)
+
+    out = jax.lax.map(one, (o_p.reshape(ng, gR, 3), d_p.reshape(ng, gR, 3),
+                            t_p.reshape(ng, gR), fid_p.reshape(ng, gR)))
+    return out.reshape(Rp)[:R]

@@ -87,3 +87,20 @@ def test_pallas_occlusion_invalid_faces_ignored(bumpy_mesh):
                                   jnp.asarray(v, jnp.float32),
                                   jnp.asarray(f), f_valid, interpret=True)
     assert not np.array(got).any()
+
+
+def test_pallas_occlusion_multigroup(bumpy_mesh, monkeypatch):
+    """Ray sets above MAX_NB blocks run as an outer lax.map over groups;
+    shrink the cap so a small scene exercises the grouped path."""
+    from nlos_surface_optimization_tpu.render import pallas_kernels as pk
+
+    monkeypatch.setattr(pk, "MAX_NB", 1)  # 1 block (512 rays) per call
+    v, f, o, d, t, fid = _rays_from_scene(bumpy_mesh, n_rays=1300)
+    f_valid = jnp.ones(f.shape[0], bool)
+    vj = jnp.asarray(v, jnp.float32)
+    ref = segment_occluded(jnp.asarray(o), jnp.asarray(d), jnp.asarray(t),
+                           jnp.asarray(fid), vj, jnp.asarray(f), f_valid)
+    got = pk.segment_occluded_pallas.__wrapped__(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fid),
+        vj, jnp.asarray(f), f_valid, interpret=True)
+    np.testing.assert_array_equal(np.array(got), np.array(ref))
