@@ -43,7 +43,9 @@ def build_scene(n=40):
             a = i * n + j
             faces.append([a, a + n, a + 1])
             faces.append([a + n, a + n + 1, a + 1])
-    return make_mesh(v, np.array(faces, np.int32))
+    from nlos_surface_optimization_tpu.geometry.accel import morton_order_faces
+    f = morton_order_faces(v, np.array(faces, np.int32))
+    return make_mesh(v, f)
 
 
 def _time_one(fn):

@@ -187,6 +187,28 @@ def required_K(accel: VisibilityAccel, lighting, source_chunk: int = 64) -> int:
     return min(bucket, accel.num_clusters)
 
 
+def morton_order_faces(v: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Faces reordered by centroid Morton code (host-side, between steps).
+
+    Spatially-compact face tiles are what make the Pallas occlusion
+    kernel's broad phase effective: raster-ordered height-field tiles
+    span the whole mesh and every tile is a candidate for every ray
+    block (measured 100% pass rate); Morton-ordered tiles are ~patch-
+    shaped and most blocks keep only a handful of candidates.  The
+    renderer's MC estimate changes (sampling keys are per face slot) but
+    its expectation does not.
+    """
+    v = np.asarray(v)
+    f = np.asarray(f)
+    if f.shape[0] < 2:
+        return f
+    cent = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    codes = _morton3((cent - lo) / span)
+    return f[np.argsort(codes, kind="stable")]
+
+
 def permute_mesh(mesh, accel: VisibilityAccel):
     """Mesh view with the face axis in Morton cluster order (padding slots
     invalidated).  Downstream chunk kernels operate on this view; face-

@@ -118,6 +118,8 @@ class InverseRenderingLoop:
             init_v, init_f, 0.5 / loop_cfg.scan_resolution,
             iterations=loop_cfg.remesh_iterations,
         )
+        from ..geometry.accel import morton_order_faces
+        f = morton_order_faces(v, f)
         self.state = LoopState(
             v=v, f=f, old_v=v.copy(),
             lr=loop_cfg.lr0, loss_epsilon=loop_cfg.loss_epsilon,
@@ -178,6 +180,8 @@ class InverseRenderingLoop:
         keep = remove_triangles(s.f, aff, inten)
         s.f = s.f[keep]
         s.v, s.f = remove_unreferenced(s.v, s.f)
+        from ..geometry.accel import morton_order_faces
+        s.f = morton_order_faces(s.v, s.f)
         s.old_v = s.v.copy()
         self._rebuild_topology()
         self.weight = np.asarray(
