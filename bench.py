@@ -72,7 +72,7 @@ def run_bench(res, samples, reps, vis):
         sigma_bin=1,
         bin_refine_resolution=10,
         source_chunk=64,
-        occl_backend=vis if vis in ("pallas", "mxu", "jnp") else "jnp",
+        occl_backend=vis if vis in ("fused", "pallas", "mxu", "jnp") else "jnp",
     )
     lighting, lnormal = nst.make_confocal_scan(
         res, lower=(-0.25, -0.25), upper=(0.25, 0.25)
@@ -149,9 +149,9 @@ def main():
     res = int(os.environ.get("BENCH_SCAN_RES", "64"))
     samples = int(os.environ.get("BENCH_SAMPLES", "20000"))
     reps = int(os.environ.get("BENCH_REPS", "8"))
-    # visibility backend: 'pallas' (fused VMEM kernel with tile skipping,
-    # the TPU fast path) | 'jnp' | 'culled' | 'mxu'
-    vis = os.environ.get("BENCH_VIS", "pallas")
+    # visibility backend: 'fused' (occlusion+splat kernel, the TPU fast
+    # path) | 'pallas' | 'jnp' | 'culled' | 'mxu'
+    vis = os.environ.get("BENCH_VIS", "fused")
 
     if os.environ.get("BENCH_SINGLE_SCALE"):
         print(json.dumps(run_bench(res, samples, reps, vis)))

@@ -82,9 +82,12 @@ class RenderConfig:
     # Number of scan points rendered per jitted chunk (memory knob).
     source_chunk: int = 0  # 0 = all sources in one chunk
 
-    # Visibility backend: 'auto' picks 'pallas' (fused VMEM-resident kernel
-    # with capsule/sphere tile skipping, render/pallas_kernels.py) on TPU
-    # and 'jnp' (lax.scan over face tiles) elsewhere; either can be forced.
+    # Visibility backend: 'auto' picks, on TPU, the fused occlusion+splat
+    # kernel ('fused', render/fused_kernels.py) for meshes that fit the
+    # VMEM-resident triangle soup and the tiled candidate-list kernel
+    # ('pallas', render/pallas_kernels.py) above that; 'jnp' (lax.scan
+    # over face tiles) elsewhere.  Any of 'fused'/'pallas'/'mxu'/'jnp'
+    # can be forced.
     occl_backend: str = "auto"
 
     # Narrow phase for the CULLED visibility path: 'mxu' casts the whole

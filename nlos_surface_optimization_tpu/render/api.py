@@ -34,9 +34,39 @@ from .core import (
     forward_chunk,
     intensity_chunk,
     trace_chunk,
+    trace_forward_fused,
     vertex_gradient_bins_chunk,
 )
 from .kernels import jitter_convolve, smooth_and_coarsen
+
+
+def _use_fused(cfg: RenderConfig, mesh: Mesh, accel) -> bool:
+    """Whether the forward path runs the fused occlusion+splat kernel
+    (render/fused_kernels.py).  'auto' picks it on TPU for meshes that fit
+    the VMEM-resident triangle soup; an explicit 'fused' is always
+    honored (interpret mode off-TPU); the culled accel path precludes it."""
+    if accel is not None:
+        return False
+    if cfg.occl_backend == "fused":
+        return True
+    if cfg.occl_backend == "auto":
+        from .fused_kernels import FUSED_FACE_CAP
+
+        return (jax.default_backend() == "tpu"
+                and int(mesh.f.shape[0]) <= FUSED_FACE_CAP)
+    return False
+
+
+def _trace_and_forward(mesh: Mesh, lc, nc_, key, cfg: RenderConfig, spt: int,
+                       off, refine: int, alpha, accel, clist, fused: bool):
+    """(RayBatch, fine histogram) for one source chunk, via the fused
+    kernel or the trace+splat pair — identical semantics."""
+    if fused:
+        return trace_forward_fused(mesh, lc, nc_, key, cfg, spt, refine,
+                                   source_offset=off, alpha=alpha)
+    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
+                       accel=accel, cluster_lists=clist)
+    return rays, forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
 
 
 def pathlengths(cfg: RenderConfig) -> jnp.ndarray:
@@ -86,13 +116,15 @@ def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
                            alpha, cfg: RenderConfig, spt: int, refine: int,
                            accel=None, cluster_lists=None):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    fused = _use_fused(cfg, mesh, accel)
     mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
 
     def one(args):
         lc, nc_, off = args
-        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
-                           accel=accel, cluster_lists=clists(off))
-        return forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+        _, fine = _trace_and_forward(mesh, lc, nc_, key, cfg, spt, off,
+                                     refine, alpha, accel, clists(off),
+                                     fused)
+        return fine
 
     offsets = jnp.arange(nc) * Lc
     fine = jax.lax.map(one, (lit, nrm, offsets))  # [nc, Lc, B*refine]
@@ -178,10 +210,10 @@ def _pad_rows(x, pad):
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
-def _fused_chunk_body(rays, mesh: Mesh, nc_, dat, w, cfg: RenderConfig,
-                      spt: int, mode: str, alpha):
-    """(transient rows, gradient) for one source chunk from an already-
-    traced RayBatch.
+def _fused_chunk_body(mesh: Mesh, lc, nc_, off, key, dat, w,
+                      cfg: RenderConfig, spt: int, mode: str, alpha,
+                      accel, clist, fused: bool):
+    """(transient rows, gradient) for one source chunk.
 
     The difference weight*(data - T_smooth) is ROW-LOCAL per source
     (loss_flag and the legacy box smoothing act along the bin axis only),
@@ -191,7 +223,8 @@ def _fused_chunk_body(rays, mesh: Mesh, nc_, dat, w, cfg: RenderConfig,
     every path twice (transient_and_gradient.cpp:122-237 forward,
     :843-1007 backward re-trace)."""
     refine = cfg.forward_refine
-    fine = forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
+    rays, fine = _trace_and_forward(mesh, lc, nc_, key, cfg, spt, off,
+                                    refine, alpha, accel, clist, fused)
     transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
                                    cfg.sigma_bin)
     diff = _difference(dat, transient, w, cfg)
@@ -211,6 +244,7 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
                   alpha, cfg: RenderConfig, spt: int, mode: str,
                   accel=None, cluster_lists=None):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    fused = _use_fused(cfg, mesh, accel)
     mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
     pad = nc * Lc - L
     # Padded rows carry zero weight => zero difference => zero gradient.
@@ -220,10 +254,8 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
 
     def one(args):
         lc, nc_, off, dat, w = args
-        rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
-                           accel=accel, cluster_lists=clists(off))
-        return _fused_chunk_body(rays, mesh, nc_, dat, w, cfg, spt, mode,
-                                 alpha)
+        return _fused_chunk_body(mesh, lc, nc_, off, key, dat, w, cfg, spt,
+                                 mode, alpha, accel, clists(off), fused)
 
     offsets = jnp.arange(nc) * Lc
     t, per_chunk = jax.lax.map(one, (lit, nrm, offsets, data_p, weight_p))
@@ -232,14 +264,15 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
     return transient, grad
 
 
-@partial(jax.jit, static_argnames=("cfg", "spt", "mode", "use_accel"))
+@partial(jax.jit,
+         static_argnames=("cfg", "spt", "mode", "use_accel", "fused"))
 def _fused_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, dat, w,
                      cfg: RenderConfig, spt: int, mode: str,
-                     use_accel: bool = False, accel=None, clist=None):
-    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
-                       accel=accel if use_accel else None,
-                       cluster_lists=clist)
-    return _fused_chunk_body(rays, mesh, nc_, dat, w, cfg, spt, mode, alpha)
+                     use_accel: bool = False, accel=None, clist=None,
+                     fused: bool = False):
+    return _fused_chunk_body(mesh, lc, nc_, off, key, dat, w, cfg, spt,
+                             mode, alpha, accel if use_accel else None,
+                             clist, fused)
 
 
 def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
@@ -254,6 +287,7 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     per-program wall time), or to overlap dispatch with host work — the
     chunks dispatch asynchronously and only the final fetch synchronizes."""
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    fused = _use_fused(cfg, mesh, accel)
     pmesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
     use_accel = accel is not None
     pad = nc * Lc - L
@@ -264,7 +298,7 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     parts = [
         _fused_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
                          data_p[i], weight_p[i], cfg, spt, mode, use_accel,
-                         accel, clists(i * Lc))
+                         accel, clists(i * Lc), fused)
         for i in range(nc)
     ]
     transient = jnp.concatenate([t for t, _ in parts], axis=0)[:L]

@@ -29,6 +29,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from ..geometry.intersect import segment_occluded
@@ -53,6 +54,66 @@ class RayBatch(NamedTuple):
     face_n: jax.Array     # [F,3] unit face normals
 
 
+def _sample_chunk(mesh: Mesh, lighting, key, cfg: RenderConfig, spt: int,
+                  source_offset):
+    """Stratified sampling + ray setup for one source chunk (no occlusion).
+
+    Returns (bary, dirs, hs, in_range, face_n, area, flat o/d/t/fid)."""
+    Lc = lighting.shape[0]
+    F = mesh.f.shape[0]
+    v1 = mesh.v[mesh.f[:, 0]]
+    v2 = mesh.v[mesh.f[:, 1]]
+    v3 = mesh.v[mesh.f[:, 2]]
+    face_n, area = face_normals_areas(mesh.v, mesh.f)
+
+    bary = stratified_barycoords(key, Lc, F, spt, source_offset)  # [Lc,F,spt,3]
+    p = (
+        bary[..., 0:1] * v1[None, :, None, :]
+        + bary[..., 1:2] * v2[None, :, None, :]
+        + bary[..., 2:3] * v3[None, :, None, :]
+    )
+    o = lighting[:, None, None, :]
+    dvec = p - o
+    h = jnp.linalg.norm(dvec, axis=-1)
+    hs = jnp.maximum(h, 1e-12)
+    dirs = dvec / hs[..., None]
+    in_range = (h >= cfg.bin_lower / 2.0) & (h <= cfg.bin_upper / 2.0)
+
+    R = Lc * F * spt
+    o_flat = jnp.broadcast_to(o, p.shape).reshape(R, 3)
+    d_flat = dirs.reshape(R, 3)
+    t_flat = hs.reshape(R)
+    fid = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
+    ).reshape(R)
+    return bary, dirs, hs, in_range, face_n, area, o_flat, d_flat, t_flat, fid
+
+
+def _interp_attrs(mesh: Mesh, bary, dirs, face_n, cfg: RenderConfig):
+    """(shading normal, interpolated albedo) per ray."""
+    if cfg.normal == "vn":
+        n1 = mesh.vn[mesh.f[:, 0]]
+        n2 = mesh.vn[mesh.f[:, 1]]
+        n3 = mesh.vn[mesh.f[:, 2]]
+        normal = (
+            bary[..., 0:1] * n1[None, :, None, :]
+            + bary[..., 1:2] * n2[None, :, None, :]
+            + bary[..., 2:3] * n3[None, :, None, :]
+        )  # NOT normalized, matching transient_and_gradient.cpp:216-219
+    else:
+        normal = jnp.broadcast_to(face_n[None, :, None, :], dirs.shape)
+
+    a1 = mesh.albedo[mesh.f[:, 0]]
+    a2 = mesh.albedo[mesh.f[:, 1]]
+    a3 = mesh.albedo[mesh.f[:, 2]]
+    alb = (
+        bary[..., 0] * a1[None, :, None]
+        + bary[..., 1] * a2[None, :, None]
+        + bary[..., 2] * a3[None, :, None]
+    )
+    return normal, alb
+
+
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
                 spt: int, source_offset=0, occl_ray_chunk: int = 16384,
                 accel=None, cluster_lists=None) -> RayBatch:
@@ -72,36 +133,14 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
     (transient_and_gradient.cpp:903-920)."""
     Lc = lighting.shape[0]
     F = mesh.f.shape[0]
-    v1 = mesh.v[mesh.f[:, 0]]
-    v2 = mesh.v[mesh.f[:, 1]]
-    v3 = mesh.v[mesh.f[:, 2]]
-    face_n, area = face_normals_areas(mesh.v, mesh.f)
-
-    bary = stratified_barycoords(key, Lc, F, spt, source_offset)  # [Lc,F,spt,3]
-    p = (
-        bary[..., 0:1] * v1[None, :, None, :]
-        + bary[..., 1:2] * v2[None, :, None, :]
-        + bary[..., 2:3] * v3[None, :, None, :]
-    )
-    o = lighting[:, None, None, :]
-    dvec = p - o
-    h = jnp.linalg.norm(dvec, axis=-1)
-    hs = jnp.maximum(h, 1e-12)
-    dirs = dvec / hs[..., None]
-
-    in_range = (h >= cfg.bin_lower / 2.0) & (h <= cfg.bin_upper / 2.0)
+    (bary, dirs, hs, in_range, face_n, area,
+     o_flat, d_flat, t_flat, fid) = _sample_chunk(
+        mesh, lighting, key, cfg, spt, source_offset)
+    R = Lc * F * spt
 
     # Visibility: nearest hit must be the sampled face <=> segment unblocked.
-    R = Lc * F * spt
-    o_flat = jnp.broadcast_to(o, p.shape).reshape(R, 3)
-    d_flat = dirs.reshape(R, 3)
-    t_flat = hs.reshape(R)
-    fid = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
-    ).reshape(R)
-
     backend = cfg.occl_backend
-    if backend == "auto":
+    if backend in ("auto", "fused"):
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     if accel is not None:
@@ -168,30 +207,61 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
         ).reshape(-1)[:R].reshape(Lc, F, spt)
 
     valid = mesh.f_valid[None, :, None] & in_range & ~occ & (area > 0)[None, :, None]
-
-    if cfg.normal == "vn":
-        n1 = mesh.vn[mesh.f[:, 0]]
-        n2 = mesh.vn[mesh.f[:, 1]]
-        n3 = mesh.vn[mesh.f[:, 2]]
-        normal = (
-            bary[..., 0:1] * n1[None, :, None, :]
-            + bary[..., 1:2] * n2[None, :, None, :]
-            + bary[..., 2:3] * n3[None, :, None, :]
-        )  # NOT normalized, matching transient_and_gradient.cpp:216-219
-    else:
-        normal = jnp.broadcast_to(face_n[None, :, None, :], p.shape)
-
-    a1 = mesh.albedo[mesh.f[:, 0]]
-    a2 = mesh.albedo[mesh.f[:, 1]]
-    a3 = mesh.albedo[mesh.f[:, 2]]
-    alb = (
-        bary[..., 0] * a1[None, :, None]
-        + bary[..., 1] * a2[None, :, None]
-        + bary[..., 2] * a3[None, :, None]
-    )
-
+    normal, alb = _interp_attrs(mesh, bary, dirs, face_n, cfg)
     return RayBatch(dirs=dirs, h=hs, normal=normal, albedo=alb, bary=bary,
                     valid=valid, area=area, face_n=face_n)
+
+
+def trace_forward_fused(mesh: Mesh, lighting, lighting_normal, key,
+                        cfg: RenderConfig, spt: int, refine: int,
+                        source_offset=0, alpha=None):
+    """(RayBatch, fine histogram [Lc, num_bins*refine]) via the fused
+    occlusion + splat kernel (render/fused_kernels.py).
+
+    Semantics identical to trace_chunk + forward_chunk with
+    occl_backend='pallas' — the per-ray contribution
+    (transient_and_gradient.cpp:204-233) is precomputed here without the
+    occlusion mask, and the kernel zeroes occluded rays before splatting.
+    """
+    Lc = lighting.shape[0]
+    F = mesh.f.shape[0]
+    (bary, dirs, hs, in_range, face_n, area,
+     o_flat, d_flat, t_flat, fid) = _sample_chunk(
+        mesh, lighting, key, cfg, spt, source_offset)
+    normal, alb = _interp_attrs(mesh, bary, dirs, face_n, cfg)
+    pre_valid = (mesh.f_valid[None, :, None] & in_range
+                 & (area > 0)[None, :, None])
+
+    rays_pre = RayBatch(dirs=dirs, h=hs, normal=normal, albedo=alb,
+                        bary=bary, valid=pre_valid, area=area, face_n=face_n)
+
+    onorm = lighting_normal[:, None, None, :]
+    cos2 = jnp.sum(onorm * dirs, axis=-1)
+    cos3 = -jnp.sum(normal * dirs, axis=-1)
+    ff = jnp.maximum(0.0, cos3 * cos2) / (hs * hs)
+    contrib = area[None, :, None] * alb * ff * ff
+    contrib = contrib * _brdf_value(rays_pre, cfg, alpha)
+    contrib = jnp.where(pre_valid, contrib, 0.0) / float(spt)
+
+    fine_res = cfg.distance_resolution / refine
+    Bf = cfg.num_bins * refine
+    bin_f = jnp.floor((2.0 * hs - cfg.bin_lower) / fine_res).astype(jnp.int32)
+    ok = (bin_f >= 0) & (bin_f < Bf)
+    contrib = jnp.where(ok, contrib, 0.0)
+    bin_f = jnp.clip(bin_f, 0, Bf - 1)
+
+    from .fused_kernels import occluded_splat_pallas
+
+    occ, hist = occluded_splat_pallas(
+        o_flat, d_flat, t_flat, fid,
+        contrib.reshape(-1), bin_f.reshape(-1),
+        mesh.v, mesh.f, mesh.f_valid, Lc, Bf,
+        t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
+        interpret=jax.default_backend() != "tpu",
+    )
+    rays = rays_pre._replace(
+        valid=pre_valid & ~occ.reshape(Lc, F, spt))
+    return rays, hist
 
 
 def _brdf_value(rays: RayBatch, cfg: RenderConfig, alpha):
@@ -334,39 +404,56 @@ def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig
     start at source_offset.
 
     The K (= 4*refine*sigma_bin+1) taps land on only G = 4*sigma_bin+2
-    consecutive COARSE bins, so the reference's per-tap gather loop
-    (transient_and_gradient.cpp:972-1001) is collapsed exactly into G
-    gathers with phase-grouped weight tables (kernels.grouped_gaussian_
-    tables) — 41 gathers -> 6 at the flagship refine=10/sigma_bin=1."""
+    consecutive COARSE bins with phase-grouped weights
+    (kernels.grouped_gaussian_tables), and the whole reduction depends on
+    the ray ONLY through its fine bin q — so the reference's per-tap
+    gather loop (transient_and_gradient.cpp:972-1001) collapses to a
+    per-fine-bin TABLE built with static-index ops over [Lc, Bf+1]
+    (no per-ray work at all) followed by ONE gather per ray per output.
+    Bit-identical to the per-ray formulation (same fma order per entry).
+    """
     Lc = rays.h.shape[0]
     B = cfg.num_bins
     res = cfg.distance_resolution
     refine = cfg.bin_refine_resolution
     sigma_bin = cfg.sigma_bin
-    diff_flat = difference.reshape(-1)
-    l_idx = (
-        jnp.arange(Lc, dtype=jnp.int32)[:, None, None] + source_offset
-    )
 
     W, WD = grouped_gaussian_tables(res, refine, sigma_bin)
     G = W.shape[1]
     fine_res = res / refine
     rsig = 2 * refine * sigma_bin
-    q = jnp.floor((2.0 * rays.h - cfg.bin_lower) / fine_res).astype(jnp.int32)
-    qs = q - rsig
-    b0 = qs // refine
-    p = qs % refine  # phase in [0, refine)
-
+    Bf = B * refine
     dtype = rays.h.dtype
-    A = jnp.zeros_like(rays.h)
-    Bw = jnp.zeros_like(rays.h)
+
+    # this chunk's difference rows
+    diff_c = jax.lax.dynamic_slice_in_dim(
+        difference, source_offset, Lc, axis=0).astype(dtype)
+
+    # per-fine-bin tables over q in [0, Bf] (q == Bf at 2h == bin_upper)
+    qs_tab = np.arange(Bf + 1) - rsig
+    p_tab = qs_tab % refine
+    b0_tab = qs_tab // refine
+    A_tab = jnp.zeros((Lc, Bf + 1), dtype)
+    Bw_tab = jnp.zeros((Lc, Bf + 1), dtype)
     for j in range(G):
-        b = b0 + j
+        b = b0_tab + j
         ok = (b >= 0) & (b < B)
-        idx = l_idx * B + jnp.clip(b, 0, B - 1)
-        d = jnp.where(ok, diff_flat[idx], 0.0)
-        A = A + jnp.asarray(W[:, j], dtype)[p] * d
-        Bw = Bw + jnp.asarray(WD[:, j], dtype)[p] * d
+        idx = np.clip(b, 0, B - 1)
+        d = jnp.where(jnp.asarray(ok)[None, :], diff_c[:, idx], 0.0)
+        A_tab = A_tab + jnp.asarray(W[p_tab, j], dtype)[None, :] * d
+        Bw_tab = Bw_tab + jnp.asarray(WD[p_tab, j], dtype)[None, :] * d
+
+    q = jnp.floor((2.0 * rays.h - cfg.bin_lower) / fine_res).astype(jnp.int32)
+    # out-of-table rays read a clipped entry; every consumer masks them
+    # with rays.valid (in_range) before use
+    qc = jnp.clip(q, 0, Bf)
+    l_local = jnp.arange(Lc, dtype=jnp.int32)[:, None, None]
+    flat = l_local * (Bf + 1) + qc
+    A = A_tab.reshape(-1)[flat]
+    Bw = Bw_tab.reshape(-1)[flat]
+    zero = (q < 0) | (q > Bf)
+    A = jnp.where(zero, 0.0, A)
+    Bw = jnp.where(zero, 0.0, Bw)
     return A, Bw
 
 
@@ -377,7 +464,11 @@ def backward_chunk(rays: RayBatch, mesh: Mesh, lighting_normal, difference,
 
     Implements streamedRayTraceTriangleGradient
     (transient_and_gradient.cpp:925-1007) with the K-tap loop collapsed to
-    the (A, Bw) reductions."""
+    the (A, Bw) reductions, and the cross-product term hoisted from per-ray
+    to per-face: cross(t2, e_k) is linear in t2 while e_k is constant per
+    face, so  sum_rays cross(t2, e_k)*A == cross(sum_rays t2*A, e_k) —
+    the per-ray work drops to two weighted vectors and three bary-weighted
+    face reductions (same math, summation reordered)."""
     t1, t2, intensity, _ = _gradient_terms(rays, lighting_normal, cfg, alpha)
     weights, deltas = gaussian_kernel(
         cfg.distance_resolution, cfg.bin_refine_resolution, cfg.sigma_bin
@@ -385,30 +476,32 @@ def backward_chunk(rays: RayBatch, mesh: Mesh, lighting_normal, difference,
     A, Bw = _tap_reductions(rays, difference, source_offset, cfg, weights, deltas)
 
     sigma2 = cfg.sigma * cfg.sigma
-    gauss_vec = (2.0 / sigma2) * rays.dirs * (intensity * Bw)[..., None]
-
-    v1 = mesh.v[mesh.f[:, 0]][None, :, None, :]
-    v2 = mesh.v[mesh.f[:, 1]][None, :, None, :]
-    v3 = mesh.v[mesh.f[:, 2]][None, :, None, :]
-    edges = (v3 - v2, v1 - v3, v2 - v1)  # opposite edge per vertex slot
-
-    scale = (
+    w = (
         jnp.where(rays.valid, 1.0, 0.0)
         * rays.area[None, :, None]
         * (-2.0 / float(spt))
+    )
+    Aw = A * w
+    # P = (t1*A + gauss_vec) * w   with gauss_vec = (2/s^2)*dir*intensity*Bw
+    P = t1 * Aw[..., None] + rays.dirs * (
+        (2.0 / sigma2) * intensity * Bw * w
     )[..., None]
+    S2 = t2 * Aw[..., None]
 
-    grads = []
-    for k in range(3):
-        gk = (
-            (t1 * A[..., None] + gauss_vec) * rays.bary[..., k : k + 1]
-            + jnp.cross(t2, jnp.broadcast_to(edges[k], t2.shape)) * A[..., None]
-        )
-        grads.append(gk * scale)
+    T2f = S2.sum(axis=(0, 2))                       # [F,3]
+    v1 = mesh.v[mesh.f[:, 0]]
+    v2 = mesh.v[mesh.f[:, 1]]
+    v3 = mesh.v[mesh.f[:, 2]]
+    edges = (v3 - v2, v1 - v3, v2 - v1)             # opposite edge per slot
 
-    # Scatter-add: sum over (source, sample) then segment-sum faces->vertices.
+    per_face = [
+        (P * rays.bary[..., k : k + 1]).sum(axis=(0, 2))
+        + jnp.cross(T2f, edges[k])
+        for k in range(3)
+    ]
+
+    # Scatter-add: segment-sum faces -> vertices.
     V = mesh.v.shape[0]
-    per_face = [g.sum(axis=(0, 2)) for g in grads]  # each [F,3]
     stacked = jnp.stack(per_face, axis=1).reshape(-1, 3)  # [F*3,3]
     ids = mesh.f.reshape(-1)
     return jax.ops.segment_sum(stacked, ids, num_segments=V)
@@ -431,44 +524,65 @@ def backward_jitter_chunk(rays: RayBatch, mesh: Mesh, lighting_normal,
 
     B = cfg.num_bins
     res = cfg.distance_resolution
-    diff_flat = difference.reshape(-1)
-    l_idx = jnp.arange(rays.h.shape[0], dtype=jnp.int32)[:, None, None] + source_offset
+    Lc = rays.h.shape[0]
     bin0 = jnp.floor((2.0 * rays.h - cfg.bin_lower) / res).astype(jnp.int32)
 
+    # The K-tap reduction depends on the ray only through its coarse bin,
+    # so it collapses to a per-bin table: T[l, b] = sum_i k_i *
+    # diff[l, b+i-offset] — a 1-D correlation of each difference row with
+    # the kernel (K can be ~901 for measured jitter; per-ray that would be
+    # 2K gathers, as a table it is one convolve + ONE gather per output).
     K = jitter_weight.shape[0]
-    A = jnp.zeros_like(rays.h)
-    C = jnp.zeros_like(rays.h)
-    for i in range(K):
-        b = bin0 + (i - jitter_offset)
-        ok = (b >= 0) & (b < B)
-        idx = l_idx * B + jnp.clip(b, 0, B - 1)
-        d = jnp.where(ok, diff_flat[idx], 0.0)
-        A = A + jitter_weight[i] * d
-        C = C + jitter_grad[i] * d
+    dtype = rays.h.dtype
+    diff_c = jax.lax.dynamic_slice_in_dim(
+        difference, source_offset, Lc, axis=0).astype(dtype)
 
-    jvec = (-2.0 / res) * rays.dirs * (intensity * C)[..., None]
+    def corr_rows(kernel):
+        # T[b] = sum_i kernel[i] * diff[b + i - offset], diff 0 outside:
+        # = convolve(diff, flip(kernel), 'full')[K-1-offset + b]
+        def one(row):
+            full = jnp.convolve(row, kernel[::-1].astype(dtype), mode="full")
+            return jax.lax.dynamic_slice_in_dim(
+                full, K - 1 - jitter_offset, B + 1)
 
-    v1 = mesh.v[mesh.f[:, 0]][None, :, None, :]
-    v2 = mesh.v[mesh.f[:, 1]][None, :, None, :]
-    v3 = mesh.v[mesh.f[:, 2]][None, :, None, :]
-    edges = (v3 - v2, v1 - v3, v2 - v1)
+        return jax.vmap(one)(
+            jnp.pad(diff_c, ((0, 0), (0, 1))))          # allow bin0 == B
 
-    scale = (
+    A_tab = corr_rows(jnp.asarray(jitter_weight))
+    C_tab = corr_rows(jnp.asarray(jitter_grad))
+
+    bc = jnp.clip(bin0, 0, B)
+    l_local = jnp.arange(Lc, dtype=jnp.int32)[:, None, None]
+    flat = l_local * (B + 1) + bc
+    zero = (bin0 < 0) | (bin0 > B)
+    A = jnp.where(zero, 0.0, A_tab.reshape(-1)[flat])
+    C = jnp.where(zero, 0.0, C_tab.reshape(-1)[flat])
+
+    # same per-face cross hoist as backward_chunk (cross linear in t2)
+    w = (
         jnp.where(rays.valid, 1.0, 0.0)
         * rays.area[None, :, None]
         * (-2.0 / float(spt))
+    )
+    Aw = A * w
+    P = t1 * Aw[..., None] + rays.dirs * (
+        (-2.0 / res) * intensity * C * w
     )[..., None]
+    S2 = t2 * Aw[..., None]
 
-    grads = []
-    for k in range(3):
-        gk = (
-            (t1 * A[..., None] + jvec) * rays.bary[..., k : k + 1]
-            + jnp.cross(t2, jnp.broadcast_to(edges[k], t2.shape)) * A[..., None]
-        )
-        grads.append(gk * scale)
+    T2f = S2.sum(axis=(0, 2))
+    v1 = mesh.v[mesh.f[:, 0]]
+    v2 = mesh.v[mesh.f[:, 1]]
+    v3 = mesh.v[mesh.f[:, 2]]
+    edges = (v3 - v2, v1 - v3, v2 - v1)
+
+    per_face = [
+        (P * rays.bary[..., k : k + 1]).sum(axis=(0, 2))
+        + jnp.cross(T2f, edges[k])
+        for k in range(3)
+    ]
 
     V = mesh.v.shape[0]
-    per_face = [g.sum(axis=(0, 2)) for g in grads]
     stacked = jnp.stack(per_face, axis=1).reshape(-1, 3)
     ids = mesh.f.reshape(-1)
     return jax.ops.segment_sum(stacked, ids, num_segments=V)

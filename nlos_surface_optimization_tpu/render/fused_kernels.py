@@ -1,0 +1,364 @@
+"""Fused visibility + histogram-splat Pallas kernel (the TPU fast path).
+
+One kernel pass per source chunk does BOTH halves of the forward hot loop
+(reference: transient_and_gradient.cpp:122-237 — Embree occlusion at :199,
+bin scatter at :204-235):
+
+  occlusion   Each grid step owns a 128-ray block (one source, Morton-
+              consecutive faces).  Per-block candidate lists of EIGHT-face
+              groups (swept-hull-vs-AABB slab broad phase, built in jnp,
+              scalar-prefetched) drive a dynamic fori loop; the whole
+              triangle soup is VMEM-resident ([G, 8, 16] is ~0.5 KB/group,
+              so meshes up to ~32k faces fit comfortably), so candidate
+              sparsity costs no DMA at all.  Möller–Trumbore runs on
+              [8 faces, 128 rays] planes — faces on sublanes, rays on
+              lanes — sign-safe (no divide), 4 groups unrolled per
+              iteration with an all-invalid sentinel group absorbing the
+              tail (no per-group predication).
+
+  splat       The per-ray contribution (shading precomputed in XLA;
+              zeroed here for occluded rays) is binned into the source's
+              fine histogram by a one-hot MXU matmul:
+                  hist[p, c] = sum_r A2[p, r] * B2[r, c]
+              with A2[p, r] = contrib_r * (bin_r // 128 == p) (built from
+              ray rows) and B2[r, c] = (bin_r % 128 == c) (built from the
+              transposed bin column) — an exact histogram, no scatter,
+              one MXU pass.  Rows accumulate into a VMEM-resident
+              [BS, 128] histogram block per source (blocks of one source
+              are consecutive, so the output block is revisited without
+              round-tripping HBM).
+
+Compared with the v2 kernel (render/pallas_kernels.py, 512-ray x 128-face
+tiles, HBM-tiled): micro granularity cuts tested pairs ~6x (measured 233
+vs 1388 candidate faces/ray on the flagship scene) at the cost of VMEM
+residency, so v2 remains the path for very large meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+RB = 128            # rays per block (lanes)
+GF = 8              # faces per candidate group (sublanes)
+KA_MAX = 128        # candidate-list slots per block (SMEM int32)
+MAX_NBA = 512       # blocks per pallas_call: SMEM lists ~266 KB
+UNROLL = 4
+
+# VMEM budget for the resident triangle soup ([Gp+1, 8, 16] f32).
+FUSED_FACE_CAP = 32768
+
+
+def _slab_candidates(a, b, half, boxes, l_store):
+    """Swept-hull-vs-AABB broad phase -> (counts, lists) at any granularity.
+
+    a/b [nb,3] segment endpoints, half [nb,3] inflation, boxes [ng,6] lo|hi.
+    lists are padded with the sentinel group id `ng` to a multiple of
+    UNROLL; counts hold the padded length (or ng's worth when overflowing
+    l_store, meaning: scan everything).
+    """
+    ng = boxes.shape[0]
+    lo = boxes[None, :, 0:3] - (half[:, None, :] + 1e-5)
+    hi = boxes[None, :, 3:6] + (half[:, None, :] + 1e-5)
+    ab = (b - a)[:, None, :]
+    inv = jnp.where(jnp.abs(ab) > 1e-30, 1.0 / ab, 0.0)
+    t0 = (lo - a[:, None, :]) * inv
+    t1 = (hi - a[:, None, :]) * inv
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    par = jnp.abs(ab) <= 1e-30
+    inside = (a[:, None, :] >= lo) & (a[:, None, :] <= hi)
+    tmin = jnp.where(par, jnp.where(inside, -jnp.inf, jnp.inf), tmin)
+    tmax = jnp.where(par, jnp.where(inside, jnp.inf, -jnp.inf), tmax)
+    enter = jnp.maximum(jnp.max(tmin, axis=-1), 0.0)
+    exit_ = jnp.minimum(jnp.min(tmax, axis=-1), 1.0)
+    empty = jnp.any(boxes[:, 0:3] > boxes[:, 3:6], axis=1)
+    cand = (enter <= exit_) & ~empty[None, :]
+
+    counts = jnp.sum(cand, axis=1, dtype=jnp.int32)
+    iota_g = jnp.arange(ng, dtype=jnp.int32)[None, :]
+    idx = jnp.where(cand, iota_g, ng)
+    k = min(ng, l_store)
+    lists = (jax.lax.top_k(-idx, k)[0] * -1).astype(jnp.int32)
+    if k < l_store:
+        lists = jnp.pad(lists, ((0, 0), (0, l_store - k)),
+                        constant_values=ng)
+    return counts, lists
+
+
+def _group_boxes(v, f, f_valid, ngroups, gf):
+    """[ng, 6] AABBs (lo|hi) over each gf-face group's VALID vertices."""
+    verts = v[f].astype(jnp.float32).reshape(ngroups, gf, 3, 3)
+    val = f_valid.reshape(ngroups, gf)
+    big = 1e30
+    w = val[..., None, None]
+    lo = jnp.where(w, verts, big).min(axis=(1, 2))
+    hi = jnp.where(w, verts, -big).max(axis=(1, 2))
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, rays_ref, tri_ref,
+                  occ_ref, hist_ref, *, gp, bs, t_rel, t_min, eps_det):
+    b = pl.program_id(0)
+    cnt = cnt_ref[b]
+    full = cnt > KA_MAX
+    n4 = jnp.where(full, gp // UNROLL, (cnt + UNROLL - 1) // UNROLL)
+
+    def row(r):
+        return rays_ref[r:r + 1, :]       # [1, RB]
+
+    ox, oy, oz = row(0), row(1), row(2)
+    dx, dy, dz = row(3), row(4), row(5)
+    t_cut = row(6) * (1.0 - t_rel)
+    sfid = row(7)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (GF, 1), 0)
+
+    def mt_group(gid):
+        tri = tri_ref[gid]                # [GF, 16]
+
+        def tcol(c):                      # [GF, 1] face component
+            return tri[:, c:c + 1]
+
+        p1x, p1y, p1z = tcol(0), tcol(1), tcol(2)
+        e1x, e1y, e1z = tcol(3), tcol(4), tcol(5)
+        e2x, e2y, e2z = tcol(6), tcol(7), tcol(8)
+        val = tcol(9)
+
+        pvx = dy * e2z - dz * e2y         # [GF, RB] planes
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+
+        tvx = ox - p1x
+        tvy = oy - p1y
+        tvz = oz - p1z
+        u_num = tvx * pvx + tvy * pvy + tvz * pvz
+
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v_num = dx * qvx + dy * qvy + dz * qvz
+        t_num = e2x * qvx + e2y * qvy + e2z * qvz
+
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        dd = det * s
+        un = u_num * s
+        vn = v_num * s
+        tn = t_num * s
+
+        fid = (gid * GF + lane8).astype(jnp.float32)
+        return (
+            (dd > eps_det)
+            & (un >= 0.0) & (vn >= 0.0) & (un + vn <= dd)
+            & (val > 0.5)
+            & (tn > t_min * dd) & (tn < t_cut * dd)
+            & (fid != sfid)
+        )
+
+    def body(i, acc):
+        k0 = i * UNROLL
+        for r in range(UNROLL):
+            k = k0 + r
+            gid = jnp.where(
+                full, k, lst_ref[b * KA_MAX + jnp.minimum(k, KA_MAX - 1)]
+            )
+            # f32 0/1 accumulator: Mosaic cannot carry an i1 vector
+            # through scf.for
+            acc = jnp.maximum(acc, mt_group(gid).astype(jnp.float32))
+        return acc
+
+    acc0 = jnp.zeros((GF, RB), jnp.float32)
+    acc = jax.lax.fori_loop(0, n4, body, acc0)
+    occ1 = jnp.max(acc, axis=0, keepdims=True) > 0.5  # [1, RB]
+    # occ rows are packed 8 blocks to a (8, RB) tile (min f32 tile shape)
+    occ_ref[0, pl.ds(b % 8, 1), :] = occ1.astype(jnp.float32)
+
+    # ---- histogram splat (one-hot MXU matmul; exact) --------------------
+    contrib = jnp.where(occ1, 0.0, row(8))            # [1, RB]
+    binf = row(9)                                     # [1, RB] f32 ints
+
+    # transpose the bin column onto sublanes: [1, RB] -> [RB, 1]
+    bin_t = jax.lax.transpose(binf, (1, 0))
+    lane_f = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 128), 1).astype(jnp.float32)
+    prow_f = jax.lax.broadcasted_iota(
+        jnp.int32, (bs, 1), 0).astype(jnp.float32)
+    b_lane = bin_t - 128.0 * jnp.floor(bin_t / 128.0)       # [RB, 1]
+    B2 = (b_lane == lane_f).astype(jnp.float32)             # [RB, 128]
+    A2 = jnp.where(jnp.floor(binf / 128.0) == prow_f, contrib, 0.0)  # [bs,RB]
+
+    hist = jax.lax.dot_general(
+        A2, B2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # [bs, 128]
+
+    first = (b == 0) | (lsrc_ref[b] != lsrc_ref[jnp.maximum(b - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        hist_ref[0] = jnp.zeros_like(hist_ref[0])
+
+    hist_ref[0] += hist
+
+
+def _fused_call(rays_t, counts, lists, lsrc_local, tri, gp, bs, nsrc,
+                t_rel, t_min, interpret):
+    nba = rays_t.shape[1] // RB
+    # counts, lists, lsrc ride as scalar prefetch; the hist output block
+    # is selected by the prefetched per-block source index (ls[b]), so
+    # consecutive blocks of one source revisit the same VMEM block.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nba,),
+        in_specs=[
+            pl.BlockSpec((16, RB), lambda b, cnt, lst, ls: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gp + 1, GF, 16), lambda b, cnt, lst, ls: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, RB), lambda b, cnt, lst, ls: (b // 8, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, 128), lambda b, cnt, lst, ls: (ls[b], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    occ, hist = pl.pallas_call(
+        functools.partial(_fused_kernel, gp=gp, bs=bs, t_rel=t_rel,
+                          t_min=t_min, eps_det=1e-12),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nba // 8, 8, RB), jnp.float32),
+            jax.ShapeDtypeStruct((nsrc, bs, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, lists.reshape(-1), lsrc_local, rays_t, tri)
+    return occ.reshape(nba, RB), hist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Lc", "num_fine_bins", "t_rel", "t_min", "interpret"))
+def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
+                          v, f, f_valid, Lc: int, num_fine_bins: int,
+                          t_rel=1e-4, t_min=1e-6, interpret=False):
+    """Fused occlusion + histogram splat for one source chunk.
+
+    o,d [R,3]; t_self [R]; self_fid [R] i32; contrib_pre [R] (shading with
+    occlusion NOT yet applied, already zeroed for out-of-range bins);
+    bin_idx [R] i32 in [0, num_fine_bins).  R = Lc * F * spt, ordered
+    (source, face, sample) — every ray block must belong to one source.
+
+    Returns (occluded [R] bool, hist [Lc, num_fine_bins] f32) with
+    hist[l, k] = sum of contrib_pre over l's unoccluded rays with bin k —
+    bit-comparable semantics to segment_occluded + jax.ops.segment_sum up
+    to f32 summation order.
+    """
+    R = o.shape[0]
+    F = f.shape[0]
+    rs_real = R // Lc
+    nbs = pl.cdiv(rs_real, RB)
+    Rs = nbs * RB
+    bs = pl.cdiv(num_fine_bins, 128)
+
+    dt = jnp.float32
+
+    def per_source_pad(x, fill=0.0):
+        x = x.reshape(Lc, rs_real, -1).astype(dt)
+        return jnp.pad(x, ((0, 0), (0, Rs - rs_real), (0, 0)),
+                       constant_values=fill)
+
+    o_p = per_source_pad(o)
+    d_p = per_source_pad(d, fill=1.0)
+    t_p = per_source_pad(t_self)
+    fid_p = per_source_pad(self_fid.astype(dt), fill=-1.0)
+    c_p = per_source_pad(contrib_pre)
+    b_p = per_source_pad(bin_idx.astype(dt))
+
+    rows = jnp.stack([
+        o_p[..., 0], o_p[..., 1], o_p[..., 2],
+        d_p[..., 0], d_p[..., 1], d_p[..., 2],
+        t_p[..., 0], fid_p[..., 0], c_p[..., 0], b_p[..., 0],
+    ], axis=0).reshape(10, Lc * Rs)
+    rays_t = jnp.pad(rows, ((0, 6), (0, 0)))          # [16, Lc*Rs]
+
+    # triangle soup, grouped by GF faces, sentinel group gp appended
+    gp = pl.cdiv(F, GF)
+    gp = pl.cdiv(gp, UNROLL) * UNROLL
+    Fp = gp * GF
+    p1 = v[f[:, 0]].astype(dt)
+    e1 = (v[f[:, 1]] - v[f[:, 0]]).astype(dt)
+    e2 = (v[f[:, 2]] - v[f[:, 0]]).astype(dt)
+    soup = jnp.concatenate(
+        [p1, e1, e2, f_valid.astype(dt)[:, None]], axis=1)   # [F, 10]
+    soup = jnp.pad(soup, ((0, Fp - F), (0, 6)))
+    tri = soup.reshape(gp, GF, 16)
+    tri = jnp.pad(tri, ((0, 1), (0, 0), (0, 0)))             # sentinel
+
+    # broad phase per ray block (origin is a point: one source per block)
+    fv_p = jnp.pad(f_valid, (0, Fp - F))
+    f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
+    boxes = _group_boxes(v, f_pad, fv_p, gp, GF)
+
+    nbm = Lc * nbs
+    p_end = o_p + d_p * t_p
+    pb = p_end.reshape(nbm, RB, 3)
+    plo = pb.min(axis=1)
+    phi = pb.max(axis=1)
+    a_seg = o_p.reshape(nbm, RB, 3)[:, 0, :]                  # the source
+    b_seg = 0.5 * (plo + phi)
+    half = 0.5 * (phi - plo)
+    counts, lists = _slab_candidates(a_seg, b_seg, half, boxes, KA_MAX)
+    lsrc = (jnp.arange(nbm, dtype=jnp.int32) // nbs)
+
+    ng = pl.cdiv(nbm, MAX_NBA)
+    nba = pl.cdiv(pl.cdiv(nbm, ng), 8) * 8    # occ rows pack 8 to a tile
+    nsrc = -(-nba // nbs) + 1                                 # sources/call
+
+    pad_b = ng * nba - nbm
+    if pad_b:
+        counts = jnp.pad(counts, (0, pad_b))
+        lists = jnp.pad(lists, ((0, pad_b), (0, 0)), constant_values=gp)
+        lsrc = jnp.pad(lsrc, (0, pad_b), constant_values=Lc - 1)
+        rays_t = jnp.pad(rays_t, ((0, 0), (0, pad_b * RB)))
+
+    counts = counts.reshape(ng, nba)
+    lists = lists.reshape(ng, nba, KA_MAX)
+    lsrc = lsrc.reshape(ng, nba)
+    lsrc0 = lsrc[:, 0]
+    lsrc_local = (lsrc - lsrc0[:, None]).astype(jnp.int32)
+    rays_g = rays_t.reshape(16, ng, nba * RB)
+
+    def one(args):
+        cnts, lsts, lsl, rg = args
+        return _fused_call(rg, cnts, lsts, lsl, tri, gp, bs, nsrc,
+                           t_rel, t_min, interpret)
+
+    if ng == 1:
+        occ, hist = one((counts[0], lists[0], lsrc_local[0], rays_g[:, 0]))
+        occ = occ.reshape(1, nba, RB)
+        hist = hist[None]
+    else:
+        occ, hist = jax.lax.map(
+            one, (counts, lists, lsrc_local, rays_g.swapaxes(0, 1)))
+
+    # stitch: occ back to [R] bool; hist slots -> [Lc, bins]
+    occ = occ.reshape(ng * nba, RB)[:nbm].reshape(Lc, Rs)
+    occ = occ[:, :rs_real].reshape(R) > 0.5
+
+    # hist [ng, nsrc, bs, 128]: slot s of group g is source lsrc0[g] + s,
+    # valid while <= that group's last source; garbage slots masked.
+    last = lsrc[:, -1]
+    slot = jnp.arange(nsrc, dtype=jnp.int32)[None, :]
+    src_of = lsrc0[:, None] + slot
+    ok = (src_of <= last[:, None])
+    hist = jnp.where(ok[..., None, None], hist, 0.0)
+    flat = hist.reshape(ng * nsrc, bs * 128)
+    seg = jnp.clip(src_of.reshape(-1), 0, Lc - 1)
+    out = jax.ops.segment_sum(flat, seg, num_segments=Lc)
+    return occ, out[:, :num_fine_bins]

@@ -104,3 +104,94 @@ def test_pallas_occlusion_multigroup(bumpy_mesh, monkeypatch):
         jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fid),
         vj, jnp.asarray(f), f_valid, interpret=True)
     np.testing.assert_array_equal(np.array(got), np.array(ref))
+
+
+def test_fused_kernel_matches_reference(bumpy_mesh):
+    """occluded_splat_pallas == segment_occluded + segment_sum exactly
+    (occlusion) / to f32 summation order (histogram)."""
+    from nlos_surface_optimization_tpu.render.fused_kernels import (
+        occluded_splat_pallas,
+    )
+
+    v, f = bumpy_mesh
+    rng = np.random.RandomState(1)
+    F = f.shape[0]
+    Lc, spt = 3, 2
+    R = Lc * F * spt
+    # sources far off-axis so rays graze the bumps -> real occlusion
+    src = np.stack([rng.uniform(0.7, 0.9, Lc),
+                    rng.uniform(-0.25, 0.25, Lc), 0.45 + np.zeros(Lc)], 1)
+    fi = np.tile(np.repeat(np.arange(F), spt), Lc).astype(np.int32)
+    u = rng.rand(R).astype(np.float32)
+    w = rng.rand(R).astype(np.float32)
+    m = u + w > 1
+    u[m], w[m] = 1 - u[m], 1 - w[m]
+    p = (v[f[fi, 0]] * (1 - u - w)[:, None] + v[f[fi, 1]] * u[:, None]
+         + v[f[fi, 2]] * w[:, None])
+    o = np.repeat(src, F * spt, 0).astype(np.float32)
+    d = p - o
+    t = np.linalg.norm(d, axis=1).astype(np.float32)
+    d = (d / t[:, None]).astype(np.float32)
+    contrib = rng.rand(R).astype(np.float32)
+    NB = 384
+    bins = rng.randint(0, NB, R).astype(np.int32)
+    f_valid = jnp.ones(F, bool)
+    vj = jnp.asarray(v, jnp.float32)
+
+    occ_ref = np.asarray(segment_occluded(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fi),
+        vj, jnp.asarray(f), f_valid))
+    hist_ref = np.zeros((Lc, NB), np.float32)
+    l_idx = np.repeat(np.arange(Lc), F * spt)
+    np.add.at(hist_ref, (l_idx, bins), np.where(occ_ref, 0, contrib))
+
+    occ, hist = occluded_splat_pallas(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fi),
+        jnp.asarray(contrib), jnp.asarray(bins), vj, jnp.asarray(f),
+        f_valid, Lc, NB, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+    np.testing.assert_allclose(np.asarray(hist), hist_ref, rtol=2e-6,
+                               atol=1e-7)
+    assert occ_ref.any()
+
+
+def test_fused_backend_inverse_matches_jnp(bumpy_mesh):
+    """occl_backend='fused' reproduces the jnp transient AND gradient."""
+    import nlos_surface_optimization_tpu as nst
+    from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+    from nlos_surface_optimization_tpu.render import inverse_render
+
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f)
+    lighting, lnormal = nst.make_confocal_scan(4)
+    cfg = nst.RenderConfig(num_samples=400, num_bins=300,
+                           distance_resolution=5e-3)
+    data = jnp.zeros((16, 300), jnp.float32)
+    w = jnp.ones((16, 300), jnp.float32)
+    t_j, g_j, _ = inverse_render(mesh, data, w, lighting, lnormal, cfg, KEY)
+    cfg_f = cfg.replace(occl_backend="fused")
+    t_f, g_f, _ = inverse_render(mesh, data, w, lighting, lnormal, cfg_f, KEY)
+    np.testing.assert_allclose(np.array(t_f), np.array(t_j), rtol=2e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.array(g_f), np.array(g_j), rtol=2e-4,
+                               atol=1e-7)
+
+
+def test_fused_multigroup(bumpy_mesh, monkeypatch):
+    """Block counts above MAX_NBA run as an outer lax.map over groups."""
+    import nlos_surface_optimization_tpu as nst
+    from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+    from nlos_surface_optimization_tpu.render import fused_kernels as fk
+    from nlos_surface_optimization_tpu.render import render_transient
+
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f)
+    lighting, lnormal = nst.make_confocal_scan(4)
+    cfg = nst.RenderConfig(num_samples=400, num_bins=300,
+                           distance_resolution=5e-3)
+    t_ref, _ = render_transient(mesh, lighting, lnormal, cfg, KEY, refine=1)
+    monkeypatch.setattr(fk, "MAX_NBA", 2)
+    cfg_f = cfg.replace(occl_backend="fused")
+    t_f, _ = render_transient(mesh, lighting, lnormal, cfg_f, KEY, refine=1)
+    np.testing.assert_allclose(np.array(t_f), np.array(t_ref), rtol=2e-5,
+                               atol=1e-8)
