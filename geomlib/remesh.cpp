@@ -236,8 +236,11 @@ static std::vector<V3> ccd_limit(const std::vector<V3>& before,
 // El Topo's per-operation collision safety (c_el_topo_api.cpp:22-44
 // enables its collision pipeline) realized batch-wise; rejected collapses
 // leave their vertices untouched.
+static double tri_signed_vol(const V3& a, const V3& b, const V3& c);
+
 static void collapse_short_edges(Mesh& m, double low, double high,
-                                 const std::vector<int>& protect) {
+                                 const std::vector<int>& protect,
+                                 double max_vol = 1e300) {
   size_t V = m.v.size();
   std::vector<std::unordered_set<int64_t>> nbr(V);
   for (auto& t : m.f)
@@ -245,6 +248,9 @@ static void collapse_short_edges(Mesh& m, double low, double high,
       nbr[t[s]].insert(t[(s + 1) % 3]);
       nbr[t[(s + 1) % 3]].insert(t[s]);
     }
+  std::vector<std::vector<int>> finc(V);
+  for (int i = 0; i < (int)m.f.size(); ++i)
+    for (int s = 0; s < 3; ++s) finc[m.f[i][s]].push_back(i);
 
   struct Cand { double L; int64_t a, b; };
   std::vector<Cand> cands;
@@ -289,6 +295,31 @@ static void collapse_short_edges(Mesh& m, double low, double high,
     for (auto x : nbr[a])
       if (x != a && x != b && nbr[b].count(x)) ++sharedCount;
     if (sharedCount > 2) continue;
+
+    // per-operation volume-change guard (El Topo m_max_volume_change,
+    // c_el_topo_api.cpp:30): local signed volume over incident faces
+    if (max_vol < 1e299) {
+      std::vector<int> loc = finc[a];
+      loc.insert(loc.end(), finc[b].begin(), finc[b].end());
+      std::sort(loc.begin(), loc.end());
+      loc.erase(std::unique(loc.begin(), loc.end()), loc.end());
+      auto pafter = [&](int64_t idx) {
+        return (idx == a || idx == b) ? pos : m.v[idx];
+      };
+      double dv = 0;
+      for (int fi : loc) {
+        const Tri& t = m.f[fi];
+        bool dead = false;
+        for (int s = 0; s < 3; ++s) {
+          int64_t p = t[s], q = t[(s + 1) % 3];
+          if ((p == a && q == b) || (p == b && q == a)) dead = true;
+        }
+        dv -= tri_signed_vol(m.v[t[0]], m.v[t[1]], m.v[t[2]]);
+        if (!dead)
+          dv += tri_signed_vol(pafter(t[0]), pafter(t[1]), pafter(t[2]));
+      }
+      if (std::abs(dv) > max_vol) continue;
+    }
 
     used[a] = used[b] = 1;
     accepted.push_back({keep, drop, pos});
@@ -336,6 +367,245 @@ static void collapse_short_edges(Mesh& m, double low, double high,
     if (r[0] != r[1] && r[1] != r[2] && r[0] != r[2]) out.push_back(r);
   }
   m.f = std::move(out);
+}
+
+// ---- topology changes: edge-edge zipper merge ------------------------------
+// El Topo's m_allow_topology_changes path (c_el_topo_api.cpp:22-44 enables
+// it with m_merge_proximity_epsilon = edge_length/10 and
+// m_max_volume_change = 0.01): when two surface patches approach within
+// the proximity epsilon, a pair of opposing edges is zippered — the four
+// incident triangles are deleted, the edge endpoints welded pairwise, and
+// the two resulting quad holes re-stitched as a tunnel.  Each operation is
+// validated for local manifoldness (every undirected edge <= 2 faces,
+// consistent orientation) and rejected when its local signed-volume change
+// exceeds max_volume_change.
+
+static double tri_signed_vol(const V3& a, const V3& b, const V3& c) {
+  return dot(a, cross(b, c)) / 6.0;
+}
+
+// Orient candidate triangles so every edge shared with `fixed` faces is
+// anti-parallel; returns false on conflict or non-manifold result.
+static bool orient_and_validate(const std::vector<Tri>& fixed,
+                                std::vector<Tri>& added) {
+  // directed edges of fixed faces
+  std::unordered_set<uint64_t> dir;
+  std::unordered_map<uint64_t, int> undir;
+  auto dkey = [](int64_t a, int64_t b) {
+    return (uint64_t(a) << 32) | uint64_t(b);
+  };
+  for (auto& t : fixed)
+    for (int s = 0; s < 3; ++s) {
+      dir.insert(dkey(t[s], t[(s + 1) % 3]));
+      undir[ekey(t[s], t[(s + 1) % 3])]++;
+    }
+  for (auto& t : added) {
+    int fwd_ok = 0, rev_ok = 0;
+    for (int s = 0; s < 3; ++s) {
+      int64_t p = t[s], q = t[(s + 1) % 3];
+      if (dir.count(dkey(p, q))) ++rev_ok;      // same direction exists ->
+      if (dir.count(dkey(q, p))) ++fwd_ok;      // must flip; opposite -> keep
+    }
+    if (fwd_ok && rev_ok) return false;
+    if (rev_ok) std::swap(t[1], t[2]);
+    for (int s = 0; s < 3; ++s) {
+      int64_t p = t[s], q = t[(s + 1) % 3];
+      if (dir.count(dkey(p, q))) return false;  // duplicate directed edge
+      dir.insert(dkey(p, q));
+      if (++undir[ekey(p, q)] > 2) return false;
+    }
+  }
+  for (auto& kv : undir)
+    if (kv.second > 2) return false;
+  return true;
+}
+
+static int merge_close_sheets(Mesh& m, double eps, double max_vol,
+                              const std::vector<int>& protect) {
+  if (eps <= 0) return 0;
+  size_t V = m.v.size();
+  std::vector<std::unordered_set<int64_t>> nbr(V);
+  for (auto& t : m.f)
+    for (int s = 0; s < 3; ++s) {
+      nbr[t[s]].insert(t[(s + 1) % 3]);
+      nbr[t[(s + 1) % 3]].insert(t[s]);
+    }
+  // manifold edge -> its two (face, slot) uses
+  std::unordered_map<uint64_t, std::vector<std::pair<int, int>>> em;
+  em.reserve(m.f.size() * 3);
+  for (int i = 0; i < (int)m.f.size(); ++i)
+    for (int s = 0; s < 3; ++s)
+      em[ekey(m.f[i][s], m.f[i][(s + 1) % 3])].push_back({i, s});
+
+  // spatial grid over edge midpoints
+  FaceGrid grid;
+  grid.cell = std::max(eps * 4.0, 1e-12);
+  grid.origin = m.v.empty() ? V3{} : m.v[0];
+  std::vector<uint64_t> ekeys;
+  for (auto& kv : em) {
+    if (kv.second.size() != 2) continue;
+    int64_t a = int64_t(kv.first >> 32), b = int64_t(kv.first & 0xffffffffu);
+    V3 mid = (m.v[a] + m.v[b]) * 0.5;
+    grid.insert(mid, mid, (int)ekeys.size());
+    ekeys.push_back(kv.first);
+  }
+
+  std::vector<std::unordered_set<int64_t>> fincident(V);
+  for (int i = 0; i < (int)m.f.size(); ++i)
+    for (int s = 0; s < 3; ++s) fincident[m.f[i][s]].insert(i);
+
+  std::vector<char> vused(V, 0), fdead(m.f.size(), 0);
+  std::vector<int> cand;
+  int merges = 0;
+
+  for (size_t ei = 0; ei < ekeys.size(); ++ei) {
+    int64_t a = int64_t(ekeys[ei] >> 32), b = int64_t(ekeys[ei] & 0xffffffffu);
+    if (vused[a] || vused[b] || protect[a] || protect[b]) continue;
+    double elen = norm(m.v[a] - m.v[b]);
+    V3 mid = (m.v[a] + m.v[b]) * 0.5;
+    V3 pad{eps + elen, eps + elen, eps + elen};
+    grid.query(mid - pad, mid + pad, cand);
+    for (int cj : cand) {
+      if ((size_t)cj <= ei) continue;
+      int64_t c = int64_t(ekeys[cj] >> 32), d = int64_t(ekeys[cj] & 0xffffffffu);
+      if (vused[a] || vused[b]) break;
+      if (vused[c] || vused[d] || protect[c] || protect[d]) continue;
+      if (c == a || c == b || d == a || d == b) continue;
+      // pairing that minimizes weld distance
+      if (norm(m.v[a] - m.v[d]) + norm(m.v[b] - m.v[c])
+          < norm(m.v[a] - m.v[c]) + norm(m.v[b] - m.v[d]))
+        std::swap(c, d);
+      if (norm(m.v[a] - m.v[c]) > eps || norm(m.v[b] - m.v[d]) > eps)
+        continue;
+      // separate patches: graph distance >= 3 between any endpoints
+      bool close = nbr[a].count(c) || nbr[a].count(d) || nbr[b].count(c)
+                || nbr[b].count(d);
+      if (!close)
+        for (auto x : nbr[a])
+          if (nbr[c].count(x) || nbr[d].count(x)) { close = true; break; }
+      if (!close)
+        for (auto x : nbr[b])
+          if (nbr[c].count(x) || nbr[d].count(x)) { close = true; break; }
+      if (close) continue;
+
+      auto u1 = em.find(ekey(a, b)), u2 = em.find(ekey(c, d));
+      if (u1 == em.end() || u2 == em.end()) continue;
+      bool dead_hit = false;
+      for (auto& u : u1->second) dead_hit |= (bool)fdead[u.first];
+      for (auto& u : u2->second) dead_hit |= (bool)fdead[u.first];
+      if (dead_hit) continue;
+      // third vertices of the four dying triangles
+      auto third = [&](std::pair<int, int> u) {
+        return m.f[u.first][(u.second + 2) % 3];
+      };
+      int64_t x1 = third(u1->second[0]), y1 = third(u1->second[1]);
+      int64_t x2 = third(u2->second[0]), y2 = third(u2->second[1]);
+      if (x1 == x2 || x1 == y2 || y1 == x2 || y1 == y2) continue;
+      // thirds must be untouched by earlier merges this pass: their fans
+      // are outside this operation's validated neighborhood
+      if (vused[x1] || vused[y1] || vused[x2] || vused[y2]) continue;
+
+      // local face set around the operation, post-weld (c->a, d->b)
+      std::vector<int> local;
+      for (auto vv : {a, b, c, d})
+        for (auto fi : fincident[vv]) local.push_back(fi);
+      std::sort(local.begin(), local.end());
+      local.erase(std::unique(local.begin(), local.end()), local.end());
+      int d1 = u1->second[0].first, d2 = u1->second[1].first;
+      int d3 = u2->second[0].first, d4 = u2->second[1].first;
+      V3 wa = (m.v[a] + m.v[c]) * 0.5, wb = (m.v[b] + m.v[d]) * 0.5;
+      auto weld = [&](int64_t idx) {
+        return idx == c ? a : (idx == d ? b : idx);
+      };
+      std::vector<Tri> fixed;
+      double vol_before = 0, vol_after = 0;
+      auto pos_after = [&](int64_t idx) {
+        idx = weld(idx);
+        return idx == a ? wa : (idx == b ? wb : m.v[idx]);
+      };
+      bool degenerate = false;
+      for (int fi : local) {
+        const Tri& t = m.f[fi];
+        vol_before += tri_signed_vol(m.v[t[0]], m.v[t[1]], m.v[t[2]]);
+        if (fi == d1 || fi == d2 || fi == d3 || fi == d4) continue;
+        Tri w = {weld(t[0]), weld(t[1]), weld(t[2])};
+        if (w[0] == w[1] || w[1] == w[2] || w[0] == w[2]) degenerate = true;
+        fixed.push_back(w);
+        vol_after += tri_signed_vol(pos_after(t[0]), pos_after(t[1]),
+                                    pos_after(t[2]));
+      }
+      if (degenerate) continue;
+
+      // try both hole pairings, both diagonals per hole
+      bool done = false;
+      for (int pair_flip = 0; pair_flip < 2 && !done; ++pair_flip) {
+        int64_t p1 = pair_flip ? y2 : x2;   // partners x1<->p1, y1<->p2
+        int64_t p2 = pair_flip ? x2 : y2;
+        // a new cross-sheet diagonal must not already exist elsewhere in
+        // the mesh (the validation set is local to {a,b,c,d} fans)
+        auto edge_in_use = [&](int64_t p, int64_t q) {
+          auto it = em.find(ekey(p, q));
+          if (it == em.end()) return false;
+          for (auto& u : it->second)
+            if (!fdead[u.first]) return true;
+          return false;
+        };
+        for (int diag = 0; diag < 4 && !done; ++diag) {
+          if ((diag & 1) && edge_in_use(x1, p1)) continue;
+          if ((diag & 2) && edge_in_use(y1, p2)) continue;
+          std::vector<Tri> added;
+          if (diag & 1) {
+            added.push_back({x1, a, p1});
+            added.push_back({x1, p1, b});
+          } else {
+            added.push_back({a, p1, x1});
+            added.push_back({a, b, p1});
+          }
+          if (diag & 2) {
+            added.push_back({y1, a, p2});
+            added.push_back({y1, p2, b});
+          } else {
+            added.push_back({a, p2, y1});
+            added.push_back({a, b, p2});
+          }
+          std::vector<Tri> added_try = added;
+          if (!orient_and_validate(fixed, added_try)) continue;
+          double va = vol_after;
+          for (auto& t : added_try)
+            va += tri_signed_vol(pos_after(t[0]), pos_after(t[1]),
+                                 pos_after(t[2]));
+          if (std::abs(va - vol_before) > max_vol) continue;
+          // commit
+          fdead[d1] = fdead[d2] = fdead[d3] = fdead[d4] = 1;
+          m.v[a] = wa;
+          m.v[b] = wb;
+          for (int fi : local) {
+            if (fdead[fi]) continue;
+            for (auto& idx : m.f[fi]) idx = weld(idx);
+          }
+          for (auto& t : added_try) {
+            for (int s = 0; s < 3; ++s)
+              fincident[t[s]].insert((int)m.f.size() + 0);
+            m.f.push_back(t);
+          }
+          vused[a] = vused[b] = vused[c] = vused[d] = 1;
+          for (auto x : {x1, y1, x2, y2}) vused[x] = 1;
+          ++merges;
+          done = true;
+        }
+      }
+      if (done) break;
+    }
+  }
+
+  if (merges) {
+    std::vector<Tri> out;
+    out.reserve(m.f.size());
+    for (size_t i = 0; i < m.f.size(); ++i)
+      if (i >= fdead.size() || !fdead[i]) out.push_back(m.f[i]);
+    m.f = std::move(out);
+  }
+  return merges;
 }
 
 // ---- cleanup ---------------------------------------------------------------
@@ -428,7 +698,8 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     auto [i1, s1] = kv.second[0];
     auto [i2, s2] = kv.second[1];
     if (touched.count(i1) || touched.count(i2)) continue;
-    int64_t a = int64_t(kv.first >> 32), b = int64_t(kv.first & 0xffffffffu);
+    // direction from face i1 (the ekey is sorted, not oriented)
+    int64_t a = m.f[i1][s1], b = m.f[i1][(s1 + 1) % 3];
     int64_t c = m.f[i1][(s1 + 2) % 3], d = m.f[i2][(s2 + 2) % 3];
     if (c == d) continue;
     if (em.count(ekey(c, d))) continue;
@@ -440,8 +711,11 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     V3 n2 = cross(m.v[b] - m.v[c], m.v[d] - m.v[c]);
     if (norm(n1) < 1e-14 || norm(n2) < 1e-14 || dot(n1, n2) <= 0) continue;
     if (diagonal_collides(a, b, c, d)) continue;
-    m.f[i1] = {c, d, a};
-    m.f[i2] = {d, c, b};
+    // winding: f1 owned directed edges (b->c, c->a), f2 (a->d, d->b); the
+    // flipped pair must keep those outer directions and share the new
+    // diagonal anti-parallel: (a,d,c) and (b,c,d)
+    m.f[i1] = {a, d, c};
+    m.f[i2] = {b, c, d};
     valence[a]--; valence[b]--; valence[c]++; valence[d]++;
     touched.insert(i1);
     touched.insert(i2);
@@ -494,19 +768,14 @@ static void tangential_relax(Mesh& m, const std::vector<int>& protect,
   m.v = std::move(out);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns 0 on success, 1 if out buffers too small (out_nv/out_nf still
-// report required sizes).
-int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
-                             const int32_t* f_in, int64_t nf,
-                             double target_edge_length, int iterations,
-                             int protect_border,
-                             double* v_out, int64_t cap_v,
-                             int32_t* f_out, int64_t cap_f,
-                             int64_t* out_nv, int64_t* out_nf) {
+static int run_remesh(const double* v_in, int64_t nv,
+                      const int32_t* f_in, int64_t nf,
+                      double target_edge_length, int iterations,
+                      double merge_eps, double max_vol, int protect_border,
+                      double* v_out, int64_t cap_v,
+                      int32_t* f_out, int64_t cap_f,
+                      int64_t* out_nv, int64_t* out_nf,
+                      int64_t* out_merges) {
   Mesh m;
   m.v.resize(nv);
   for (int64_t i = 0; i < nv; ++i)
@@ -517,11 +786,18 @@ int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
 
   double high = 4.0 / 3.0 * target_edge_length;
   double low = 4.0 / 5.0 * target_edge_length;
+  int64_t merges = 0;
   for (int it = 0; it < iterations; ++it) {
-    split_long_edges(m, high);
     auto protect = protect_border ? border_flags(m)
                                   : std::vector<int>(m.v.size(), 0);
-    collapse_short_edges(m, low, high, protect);
+    if (merge_eps > 0) {
+      merges += merge_close_sheets(m, merge_eps, max_vol, protect);
+      cleanup_faces(m);
+    }
+    split_long_edges(m, high);
+    protect = protect_border ? border_flags(m)
+                             : std::vector<int>(m.v.size(), 0);
+    collapse_short_edges(m, low, high, protect, max_vol);
     cleanup_faces(m);
     compact(m);
     protect = protect_border ? border_flags(m)
@@ -534,6 +810,7 @@ int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
     m.v = ccd_limit(before, m.v, m.f);
   }
 
+  if (out_merges) *out_merges = merges;
   *out_nv = (int64_t)m.v.size();
   *out_nf = (int64_t)m.f.size();
   if ((int64_t)m.v.size() > cap_v || (int64_t)m.f.size() > cap_f) return 1;
@@ -548,6 +825,43 @@ int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
     f_out[3 * i + 2] = (int32_t)m.f[i][2];
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if out buffers too small (out_nv/out_nf still
+// report required sizes).
+int geomlib_isotropic_remesh(const double* v_in, int64_t nv,
+                             const int32_t* f_in, int64_t nf,
+                             double target_edge_length, int iterations,
+                             int protect_border,
+                             double* v_out, int64_t cap_v,
+                             int32_t* f_out, int64_t cap_f,
+                             int64_t* out_nv, int64_t* out_nf) {
+  return run_remesh(v_in, nv, f_in, nf, target_edge_length, iterations,
+                    0.0, 1e300, protect_border, v_out, cap_v, f_out, cap_f,
+                    out_nv, out_nf, nullptr);
+}
+
+// El Topo static-operations parity (c_el_topo_api.cpp:10-74): remesh WITH
+// topology changes — close sheets within merge_eps are zipper-merged —
+// and a per-operation volume-change cap (m_max_volume_change).  The
+// reference passes merge_eps = edge_length/10 and max_volume_change =
+// 0.01.  out_merges reports how many zipper operations were committed.
+int geomlib_topo_remesh(const double* v_in, int64_t nv,
+                        const int32_t* f_in, int64_t nf,
+                        double target_edge_length, int iterations,
+                        double merge_eps, double max_volume_change,
+                        int protect_border,
+                        double* v_out, int64_t cap_v,
+                        int32_t* f_out, int64_t cap_f,
+                        int64_t* out_nv, int64_t* out_nf,
+                        int64_t* out_merges) {
+  return run_remesh(v_in, nv, f_in, nf, target_edge_length, iterations,
+                    merge_eps, max_volume_change, protect_border,
+                    v_out, cap_v, f_out, cap_f, out_nv, out_nf, out_merges);
 }
 
 // Face adjacency (cgal_api face_affinity equivalent): out[3*i+s] = face

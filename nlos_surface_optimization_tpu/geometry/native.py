@@ -50,6 +50,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.geomlib_topo_remesh.restype = ctypes.c_int
+    lib.geomlib_topo_remesh.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.geomlib_face_affinity.restype = None
     lib.geomlib_face_affinity.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -99,6 +110,49 @@ def isotropic_remesh_native(v: np.ndarray, f: np.ndarray,
         if rc == 0:
             return (out_v[: nv.value].astype(np.float32),
                     out_f[: nf.value].copy())
+        cap_v = max(cap_v, nv.value)
+        cap_f = max(cap_f, nf.value)
+    raise RuntimeError("geomlib buffers kept overflowing")
+
+
+def topo_remesh_native(v: np.ndarray, f: np.ndarray,
+                       target_edge_length: float, iterations: int = 3,
+                       merge_eps: float = None,
+                       max_volume_change: float = 0.01,
+                       protect_border: bool = True,
+                       grow: int = 8):
+    """El Topo static-operations parity: remesh WITH topology changes
+    (zipper merge of sheets within merge_eps, default edge_length/10 like
+    c_el_topo_api.cpp:40) and the per-operation volume cap (:30).
+
+    Returns (v, f, num_merges)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("geomlib not built")
+    if merge_eps is None:
+        merge_eps = target_edge_length / 10.0
+    v = np.ascontiguousarray(v, np.float64)
+    f = np.ascontiguousarray(f, np.int32)
+    cap_v = max(grow * v.shape[0], 1024)
+    cap_f = max(grow * f.shape[0], 2048)
+    for _ in range(4):
+        out_v = np.empty((cap_v, 3), np.float64)
+        out_f = np.empty((cap_f, 3), np.int32)
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        nm = ctypes.c_int64()
+        rc = lib.geomlib_topo_remesh(
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), v.shape[0],
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), f.shape[0],
+            float(target_edge_length), int(iterations), float(merge_eps),
+            float(max_volume_change), 1 if protect_border else 0,
+            out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap_v,
+            out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_f,
+            ctypes.byref(nv), ctypes.byref(nf), ctypes.byref(nm),
+        )
+        if rc == 0:
+            return (out_v[: nv.value].astype(np.float32),
+                    out_f[: nf.value].copy(), int(nm.value))
         cap_v = max(cap_v, nv.value)
         cap_f = max(cap_f, nf.value)
     raise RuntimeError("geomlib buffers kept overflowing")

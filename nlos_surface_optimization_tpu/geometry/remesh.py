@@ -226,12 +226,15 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
             em[(min(a, b), max(a, b))].append((idx, s))
 
     touched: Set[int] = set()
-    for (a, b), uses in em.items():
+    for _, uses in em.items():
         if len(uses) != 2:
             continue
         (i1, s1), (i2, s2) = uses
         if i1 in touched or i2 in touched:
             continue
+        # direction from face i1 (the em key is sorted, not oriented)
+        a = f[i1][s1]
+        b = f[i1][(s1 + 1) % 3]
         c = f[i1][(s1 + 2) % 3]
         d = f[i2][(s2 + 2) % 3]
         if c == d:
@@ -258,8 +261,10 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
         # (geomlib's flip_edges applies the same test)
         if _segment_hits_any(np.asarray(v), f, v[c], v[d], {a, b, c, d}):
             continue
-        f[i1] = [c, d, a]
-        f[i2] = [d, c, b]
+        # winding: keep f1's outer directed edges (b->c, c->a) and f2's
+        # (a->d, d->b); the new diagonal is shared anti-parallel
+        f[i1] = [a, d, c]
+        f[i2] = [b, c, d]
         valence[a] -= 1
         valence[b] -= 1
         valence[c] += 1
@@ -334,6 +339,30 @@ def isotropic_remesh(v: np.ndarray, f: np.ndarray, target_edge_length: float,
                 raise
     return isotropic_remesh_py(v, f, target_edge_length, iterations,
                                protect_border)
+
+
+def el_topo_remesh(v: np.ndarray, f: np.ndarray, target_edge_length: float,
+                   iterations: int = 1, merge_eps: float = None,
+                   max_volume_change: float = 0.01,
+                   protect_border: bool = True):
+    """El Topo static-operations parity (el_topo_api.pyx / c_el_topo_api.cpp
+    :10-74): remesh with TOPOLOGY CHANGES enabled — surface patches that
+    approach within merge_eps (default edge_length/10, :40) are zippered
+    into one sheet — plus the per-operation volume-change cap
+    m_max_volume_change (:30, reference value 0.01).
+
+    Returns (v, f, num_merges).  Requires the C++ geomlib (the zipper +
+    CCD pipeline is native); falls back to merge-free isotropic remeshing
+    with num_merges = 0 when the library is unavailable."""
+    try:
+        from .native import topo_remesh_native
+        return topo_remesh_native(v, f, target_edge_length, iterations,
+                                  merge_eps, max_volume_change,
+                                  protect_border)
+    except Exception:
+        nv, nf = isotropic_remesh_py(v, f, target_edge_length, iterations,
+                                     protect_border)
+        return nv, nf, 0
 
 
 def isotropic_remesh_py(v: np.ndarray, f: np.ndarray,

@@ -167,6 +167,14 @@ class InverseRenderingLoop:
         self.log("remesh")
         s.v = integrate_vertices(s.old_v, s.f, s.v).astype(np.float32)
         target = 0.5 / s.scan_resolution
+        # El Topo role: topology-change pass first (merge approaching
+        # sheets, volume-capped ops), then CGAL-role isotropic remeshing —
+        # the reference's el_topo_remeshing -> isotropic_remeshing order
+        # (exp_bunny/test.py:124-137)
+        from ..geometry.remesh import el_topo_remesh
+        s.v, s.f, n_merges = el_topo_remesh(s.v, s.f, target, iterations=1)
+        if n_merges:
+            self.log(f"topology: {n_merges} sheet merge(s)")
         s.v, s.f = isotropic_remesh(
             s.v, s.f, target, iterations=self.cfg.remesh_iterations
         )
@@ -225,7 +233,13 @@ class InverseRenderingLoop:
         original_l2 = float(original_l2)
 
         if s.weight_flag:
-            s.smooth_weight = original_l2 / max(sval, 1e-300) / s.smooth_ratio
+            # auto-lambda (test.py:172-178); a (near-)perfectly smooth
+            # surface needs no regularization — dividing by sval ~ 0 would
+            # overflow the weight and NaN the gradient
+            if sval > 1e-12:
+                s.smooth_weight = original_l2 / sval / s.smooth_ratio
+            else:
+                s.smooth_weight = 0.0
             s.weight_flag = False
             self.log(f"new smooth weight {s.smooth_weight:f}")
             if s.t > 0 and s.l2_first:

@@ -49,8 +49,13 @@ KA_MAX = 128        # candidate-list slots per block (SMEM int32)
 MAX_NBA = 512       # blocks per pallas_call: SMEM lists ~266 KB
 UNROLL = 4
 
-# VMEM budget for the resident triangle soup ([Gp+1, 8, 16] f32).
-FUSED_FACE_CAP = 32768
+# Auto-backend bound.  VMEM residency allows ~32k faces, but measured
+# scaling (scripts/bench_scale.py) shows the candidate lists saturating
+# KA_MAX well before that (at 31k faces most blocks overflow to full
+# scans and the tiled 'pallas' kernel is 3x faster); 16k keeps 'auto' on
+# the winning side of the crossover.  An explicit 'fused' still runs up
+# to VMEM limits.
+FUSED_FACE_CAP = 16384
 
 
 def _slab_candidates(a, b, half, boxes, l_store):

@@ -49,28 +49,34 @@ BLOCK_R = 512
 TILE_F = 128
 
 # Candidate-list slots per ray block, stored in SMEM (int32).  A block
-# whose candidate count exceeds L_STORE scans all tiles instead — exact
-# either way, L_STORE only trades SMEM for the rare dense block.
+# whose candidate count exceeds the list capacity scans all tiles instead
+# — exact either way, capacity only trades SMEM for the rare dense block.
+# At large tile counts the typical candidate count grows (finer tiles over
+# the same corridor), so capacity scales with nt while the SMEM budget
+# (blocks-per-call x capacity) stays ~256 KB.
 L_STORE = 64
-
-# Cap on ray blocks per pallas_call: lists live in SMEM
-# (4*(L_STORE+1) bytes per block), and SMEM is ~1 MB/core shared with
-# everything else.  1024 blocks = 260 KB of lists = 512k rays per call;
-# larger ray sets run as an outer lax.map over groups.
 MAX_NB = 1024
 
 
+def _list_geometry(nt: int):
+    """(l_store, max_nb) for a given face-tile count."""
+    l_store = min(max(L_STORE, nt // 8), 512)
+    max_nb = max(64, (MAX_NB * L_STORE) // l_store)
+    return l_store, max_nb
+
+
 def _occl_kernel(cnt_ref, lst_ref, o_ref, d_ref, t_ref, fid_ref, tri_hbm,
-                 out_ref, slots, sems, *, nt, t_rel, t_min, eps_det):
+                 out_ref, slots, sems, *, nt, l_store, t_rel, t_min,
+                 eps_det):
     b = pl.program_id(0)
     cnt = cnt_ref[b]
-    full = cnt > L_STORE
+    full = cnt > l_store
     n = jnp.where(full, nt, cnt)
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def tile_id(k):
-        safe = jnp.minimum(k, L_STORE - 1)
-        return jnp.where(full, k, lst_ref[b * L_STORE + safe])
+        safe = jnp.minimum(k, l_store - 1)
+        return jnp.where(full, k, lst_ref[b * l_store + safe])
 
     def tile_copy(k, slot):
         return pltpu.make_async_copy(
@@ -206,7 +212,7 @@ def _tile_boxes(v, f, f_valid, nt):
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _candidate_lists(meta, boxes):
+def _candidate_lists(meta, boxes, l_store):
     """Broad phase: swept-hull-vs-AABB slab test -> per-block tile lists.
 
     meta [nb, 12] block boxes (_block_boxes); boxes [nt, 6] tile AABBs.
@@ -242,11 +248,11 @@ def _candidate_lists(meta, boxes):
     counts = jnp.sum(cand, axis=1, dtype=jnp.int32)
     iota_t = jnp.arange(nt, dtype=jnp.int32)[None, :]
     idx = jnp.where(cand, iota_t, nt)
-    k = min(nt, L_STORE)
+    k = min(nt, l_store)
     order = jax.lax.top_k(-idx, k)[0] * -1             # ascending candidates
     lists = jnp.where(order >= nt, 0, order).astype(jnp.int32)
-    if k < L_STORE:
-        lists = jnp.pad(lists, ((0, 0), (0, L_STORE - k)))
+    if k < l_store:
+        lists = jnp.pad(lists, ((0, 0), (0, l_store - k)))
     return counts, lists
 
 
@@ -256,7 +262,8 @@ def _occl_call(o_p, d_p, t_p, fid_p, tri_t, boxes, nt, t_rel, t_min,
     Rp = o_p.shape[0]
     nb = Rp // BLOCK_R
     meta = _block_boxes(o_p, d_p, t_p, nb)
-    counts, lists = _candidate_lists(meta, boxes)
+    l_store, _ = _list_geometry(nt)
+    counts, lists = _candidate_lists(meta, boxes, l_store)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # counts, lists (flat): SMEM
@@ -280,8 +287,8 @@ def _occl_call(o_p, d_p, t_p, fid_p, tri_t, boxes, nt, t_rel, t_min,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_occl_kernel, nt=nt, t_rel=t_rel, t_min=t_min,
-                          eps_det=1e-12),
+        functools.partial(_occl_kernel, nt=nt, l_store=l_store,
+                          t_rel=t_rel, t_min=t_min, eps_det=1e-12),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.bool_),
         interpret=interpret,
@@ -298,7 +305,9 @@ def segment_occluded_pallas(o, d, t_self, self_fid, v, f, f_valid,
     R = o.shape[0]
     F = f.shape[0]
     nb_total = pl.cdiv(R, BLOCK_R)
-    ng = pl.cdiv(nb_total, MAX_NB)
+    Fp0 = pl.cdiv(F, TILE_F) * TILE_F
+    _, max_nb = _list_geometry(Fp0 // TILE_F)
+    ng = pl.cdiv(nb_total, max_nb)
     gnb = pl.cdiv(nb_total, ng)          # blocks per group
     Rp = ng * gnb * BLOCK_R
     Fp = pl.cdiv(F, TILE_F) * TILE_F

@@ -48,9 +48,13 @@ def build(n):
 
 def bench_one(mesh, vis, key):
     F = int(mesh.f.shape[0])
+    spt0 = 1 + (20000 - 1) // F
+    # memory knob: keep the per-chunk ray tensor ~2M rays (the flagship
+    # working set) so big meshes don't blow HBM on intermediates
+    chunk = max(1, min(64, 2_000_000 // (F * spt0)))
     cfg = nst.RenderConfig(
         num_samples=20000, num_bins=1200, distance_resolution=1.2e-3,
-        sigma_bin=1, bin_refine_resolution=10, source_chunk=64,
+        sigma_bin=1, bin_refine_resolution=10, source_chunk=chunk,
         occl_backend=vis if vis != "culled" else "jnp",
     )
     lighting, lnormal = nst.make_confocal_scan(RES, (-0.25, -0.25),

@@ -1,0 +1,108 @@
+"""Record a flagship bunny optimization on the real chip (VERDICT r2 #4).
+
+Runs run_experiment('bunny') at 64x64 through >= 2 remesh cycles and >= 1
+plateau phase switch, saves the v2/l2 histories + final mesh into
+RESULTS/ (compact artifacts; the per-iteration .mat checkpoints stay in
+the workdir), and writes RESULTS.md with the curve.
+
+Reference deliverable being reproduced: exp_bunny/test.py:116-219.
+"""
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+WORKDIR = os.environ.get("WORKDIR", "/tmp/flagship_bunny")
+MAX_ITERS = int(os.environ.get("MAX_ITERS", "60"))
+
+
+def main():
+    import jax
+
+    from nlos_surface_optimization_tpu.experiments.run import run_experiment
+
+    events = []
+    times = []
+    last = [time.time()]
+
+    def log(s):
+        now = time.time()
+        events.append(f"[{now - t0:8.1f}s] {s}")
+        if s.startswith(("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")):
+            times.append(now - last[0])
+        last[0] = now
+        print(s, flush=True)
+
+    t0 = time.time()
+    state, hist = run_experiment(
+        "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=64,
+        log=log,
+    )
+    wall = time.time() - t0
+
+    outdir = os.path.join(ROOT, "RESULTS")
+    os.makedirs(outdir, exist_ok=True)
+    np.savez(
+        os.path.join(outdir, "flagship_bunny_64.npz"),
+        l2=np.asarray(hist["l2"]),
+        l2_original=np.asarray(hist["l2_original"]),
+        v2=np.asarray(hist["v2"]),
+        final_v=state.v, final_f=state.f,
+    )
+
+    v2 = np.asarray(hist["v2"], np.float64)
+    l2 = np.asarray(hist["l2_original"], np.float64)
+    n_remesh = sum(1 for e in events if e.endswith("remesh")
+                   or "remesh " in e)
+    n_shading = sum(1 for e in events if "shading based" in e)
+
+    def curve(x, k=12):
+        idx = np.unique(np.linspace(0, len(x) - 1, k).astype(int))
+        return "  ".join(f"{i}:{x[i]:.5f}" for i in idx)
+
+    md = f"""# Flagship run: bunny 64x64 on one TPU v5e chip
+
+`python scripts/run_flagship.py` — {len(l2)} optimization iterations in
+{wall / 60:.1f} min wall ({np.median(times):.2f} s median per rendered
+iteration incl. v2 eval + checkpoint), synthetic-GT bunny stand-in scene
+(the reference's mesh assets are not in the snapshot), 20k samples,
+B=1200 @ 1.2 mm, plateau-driven phase machine with {n_remesh} remesh
+block(s) and {n_shading} fn->vn shading switch(es)
+(reference flow: exp_bunny/test.py:116-219).
+
+| metric | first | last | change |
+|---|---|---|---|
+| weighted L2 (unregularized) | {l2[0]:.6f} | {l2[-1]:.6f} | x{l2[-1] / l2[0]:.3f} |
+| v2 (mean distance to GT mesh, m) | {v2[0]:.6f} | {v2[-1]:.6f} | x{v2[-1] / v2[0]:.3f} |
+| faces | — | {state.f.shape[0]} | — |
+
+l2 curve (iter:value): {curve(l2)}
+
+v2 curve (iter:value): {curve(v2)}
+
+Event log (phase machine):
+
+```
+{chr(10).join(e for e in events if not e[11:12].isdigit())}
+```
+
+Artifacts: `RESULTS/flagship_bunny_64.npz` (full histories + final mesh);
+per-iteration .mat checkpoints (mesh, optimizer state, RNG key,
+transient) were written to the workdir during the run.
+"""
+    with open(os.path.join(outdir, "..", "RESULTS.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps({"iters": len(l2), "wall_min": wall / 60,
+                      "l2_first": float(l2[0]), "l2_last": float(l2[-1]),
+                      "v2_first": float(v2[0]), "v2_last": float(v2[-1]),
+                      "faces": int(state.f.shape[0])}))
+
+
+if __name__ == "__main__":
+    main()

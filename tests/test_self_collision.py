@@ -130,3 +130,103 @@ def test_integrate_stops_vertex_face_crossing():
     out = np.asarray(integrate_vertices(v, f, prop), np.float64)
     assert out[0, 2] <= 0.5 + 1e-9
     assert out[0, 2] > 0.0  # it did move
+
+
+def _sheet(nx, ny, z, x0=-0.2, x1=0.2, y0=-0.2, y1=0.2, flip=False):
+    import numpy as np
+    xs = np.linspace(x0, x1, nx)
+    ys = np.linspace(y0, y1, ny)
+    gx, gy = np.meshgrid(xs, ys)
+    v = np.stack([gx.ravel(), gy.ravel(), np.full(nx * ny, z)], 1)
+    faces = []
+    for i in range(ny - 1):
+        for j in range(nx - 1):
+            a = i * nx + j
+            if flip:
+                faces.append([a, a + 1, a + nx])
+                faces.append([a + nx, a + 1, a + nx + 1])
+            else:
+                faces.append([a, a + nx, a + 1])
+                faces.append([a + nx, a + nx + 1, a + 1])
+    return v.astype(np.float32), np.array(faces, np.int32)
+
+
+def test_topo_remesh_merges_approaching_sheets():
+    """El Topo topology-change parity (c_el_topo_api.cpp:22-44): two
+    nearly-touching sheets zipper-merge into one connected component; the
+    merged mesh is edge-manifold and orientation-consistent."""
+    import numpy as np
+    from nlos_surface_optimization_tpu.geometry.remesh import el_topo_remesh
+    from nlos_surface_optimization_tpu.geometry import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("geomlib not built")
+
+    edge = 0.4 / 9
+    gap = edge / 20           # inside merge_eps = edge/10
+    v1, f1 = _sheet(10, 10, 0.5)
+    v2, f2 = _sheet(10, 10, 0.5 + gap, flip=True)  # facing the first
+    v = np.concatenate([v1, v2], 0)
+    f = np.concatenate([f1, f2 + v1.shape[0]], 0)
+
+    nv, nf, n_merges = el_topo_remesh(v, f, edge, iterations=1,
+                                      protect_border=False)
+    assert n_merges >= 1
+
+    # connectivity: the two sheets are now ONE component
+    from nlos_surface_optimization_tpu.geometry.topology import (
+        connected_components,
+    )
+    comp = connected_components(nf, nv.shape[0])
+    used = np.unique(nf.ravel())
+    assert len(np.unique(np.asarray(comp)[used])) == 1
+
+    # edge-manifold + consistent orientation
+    from collections import defaultdict
+    undir = defaultdict(int)
+    direct = set()
+    for t in nf:
+        for s in range(3):
+            p, q = int(t[s]), int(t[(s + 1) % 3])
+            key = (min(p, q), max(p, q))
+            undir[key] += 1
+            assert (p, q) not in direct, "duplicate directed edge"
+            direct.add((p, q))
+    assert max(undir.values()) <= 2
+
+
+def test_topo_remesh_volume_guard():
+    """Remeshing a closed-ish surface keeps enclosed volume drift small
+    (El Topo m_max_volume_change role)."""
+    import numpy as np
+    from nlos_surface_optimization_tpu.geometry.remesh import el_topo_remesh
+    from nlos_surface_optimization_tpu.geometry import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("geomlib not built")
+
+    # bumpy height field; signed volume against z=0 plane is well defined
+    rng = np.random.RandomState(0)
+    n = 16
+    xs = np.linspace(-0.3, 0.3, n)
+    gx, gy = np.meshgrid(xs, xs)
+    z = 0.5 + 0.04 * np.sin(7 * gx) * np.cos(5 * gy)
+    v = np.stack([gx.ravel(), gy.ravel(), z.ravel()], 1).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + n, a + 1])
+            faces.append([a + n, a + n + 1, a + 1])
+    f = np.array(faces, np.int32)
+
+    def vol(vv, ff):
+        a, b, c = vv[ff[:, 0]], vv[ff[:, 1]], vv[ff[:, 2]]
+        return float(np.sum(np.einsum("ij,ij->i", a, np.cross(b, c))) / 6.0)
+
+    v0 = vol(v.astype(np.float64), f)
+    nv, nf, _ = el_topo_remesh(v, f, 0.6 / n, iterations=2)
+    v1 = vol(nv.astype(np.float64), nf)
+    assert abs(v1 - v0) / abs(v0) < 0.01
