@@ -203,14 +203,23 @@ struct Grid {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Collision-safe integration old_v -> new_v over mesh f.  Writes the
 // integrated positions to out_v.  Returns the number of passes that found
 // at least one collision (0 = the full step was collision-free).
-int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
-                          int64_t nv, const int32_t* f_in, int64_t nf,
-                          double* out_v, int32_t max_passes) {
+//
+// `rep` (nullable, length nv) maps each vertex to its merge representative:
+// primitives whose vertex sets meet UNDER rep are treated as adjacent and
+// excluded from contact testing.  An edge collapse moves both endpoints to
+// a common target, so the dropped vertex lands exactly ON the kept
+// vertex's incident faces at t=1 — a topological coincidence, not a
+// collision.  Without the exclusion every collapse on a curved surface
+// self-rejects (the mesh can refine but never coarsen).
+int integrate_ccd_impl(const double* old_v_in, const double* new_v_in,
+                       int64_t nv, const int32_t* f_in, int64_t nf,
+                       const int32_t* rep, double* out_v,
+                       int32_t max_passes) {
   std::vector<V3> p0(nv), disp(nv);
   for (int64_t i = 0; i < nv; ++i) {
     p0[i] = {old_v_in[3 * i], old_v_in[3 * i + 1], old_v_in[3 * i + 2]};
@@ -240,6 +249,8 @@ int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
   mean_edge = ne ? mean_edge / double(ne) : 1.0;
   if (mean_edge <= 0.0) mean_edge = 1.0;
   const double bary_eps = 1e-8;
+
+  auto R = [&](int32_t x) { return rep ? rep[x] : x; };
 
   std::vector<double> s(nv, 1.0);  // per-vertex displacement scale
   int collision_passes = 0;
@@ -295,6 +306,9 @@ int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
       for (int fi : cand) {
         auto& t = tri[fi];
         if (t[0] == vi || t[1] == vi || t[2] == vi) continue;
+        if (rep && (R(t[0]) == R((int32_t)vi) || R(t[1]) == R((int32_t)vi)
+                    || R(t[2]) == R((int32_t)vi)))
+          continue;
         if (!vb.overlaps(tbox[fi])) continue;
         double tc = ccd_point_triangle(p0[vi], d[vi], p0[t[0]], d[t[0]],
                                        p0[t[1]], d[t[1]], p0[t[2]], d[t[2]],
@@ -316,6 +330,9 @@ int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
         if (ej <= ei) continue;  // unordered pairs once
         int32_t c = edges[ej][0], dd = edges[ej][1];
         if (a == c || a == dd || b == c || b == dd) continue;
+        if (rep && (R(a) == R(c) || R(a) == R(dd) || R(b) == R(c)
+                    || R(b) == R(dd)))
+          continue;
         if (!ebox[ei].overlaps(ebox[ej])) continue;
         double tc = ccd_edge_edge(p0[a], d[a], p0[b], d[b], p0[c], d[c],
                                   p0[dd], d[dd], bary_eps);
@@ -352,6 +369,26 @@ int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
     out_v[3 * i + 2] = p.z;
   }
   return collision_passes;
+}
+
+}  // namespace
+
+extern "C" {
+
+int geomlib_integrate_ccd(const double* old_v_in, const double* new_v_in,
+                          int64_t nv, const int32_t* f_in, int64_t nf,
+                          double* out_v, int32_t max_passes) {
+  return integrate_ccd_impl(old_v_in, new_v_in, nv, f_in, nf, nullptr,
+                            out_v, max_passes);
+}
+
+// Variant with a merge-representative map (see integrate_ccd_impl).
+int geomlib_integrate_ccd_rep(const double* old_v_in, const double* new_v_in,
+                              int64_t nv, const int32_t* f_in, int64_t nf,
+                              const int32_t* rep, double* out_v,
+                              int32_t max_passes) {
+  return integrate_ccd_impl(old_v_in, new_v_in, nv, f_in, nf, rep, out_v,
+                            max_passes);
 }
 
 }  // extern "C"

@@ -15,6 +15,8 @@
 #include <array>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <set>
 #include <unordered_map>
@@ -44,6 +46,14 @@ extern "C" int geomlib_integrate_ccd(const double* old_v_in,
                                      const double* new_v_in, int64_t nv,
                                      const int32_t* f_in, int64_t nf,
                                      double* out_v, int32_t max_passes);
+// Variant excluding contacts between primitives merging under `rep`
+// (edge collapses: the dropped vertex legitimately lands ON the kept
+// vertex's incident faces at t=1).
+extern "C" int geomlib_integrate_ccd_rep(const double* old_v_in,
+                                         const double* new_v_in, int64_t nv,
+                                         const int32_t* f_in, int64_t nf,
+                                         const int32_t* rep, double* out_v,
+                                         int32_t max_passes);
 
 namespace {
 
@@ -207,7 +217,8 @@ static bool segment_hits_tri(const V3& o, const V3& q, const V3& a,
 // vertex motion on the CURRENT topology and return the safe positions.
 static std::vector<V3> ccd_limit(const std::vector<V3>& before,
                                  const std::vector<V3>& proposed,
-                                 const std::vector<Tri>& faces) {
+                                 const std::vector<Tri>& faces,
+                                 const std::vector<int32_t>* rep = nullptr) {
   size_t V = before.size();
   std::vector<double> o(3 * V), n(3 * V), out(3 * V);
   for (size_t i = 0; i < V; ++i) {
@@ -219,8 +230,9 @@ static std::vector<V3> ccd_limit(const std::vector<V3>& before,
   std::vector<int32_t> ff(3 * faces.size());
   for (size_t i = 0; i < faces.size(); ++i)
     for (int s = 0; s < 3; ++s) ff[3 * i + s] = (int32_t)faces[i][s];
-  geomlib_integrate_ccd(o.data(), n.data(), (int64_t)V, ff.data(),
-                        (int64_t)faces.size(), out.data(), 8);
+  geomlib_integrate_ccd_rep(o.data(), n.data(), (int64_t)V, ff.data(),
+                            (int64_t)faces.size(),
+                            rep ? rep->data() : nullptr, out.data(), 8);
   std::vector<V3> res(V);
   for (size_t i = 0; i < V; ++i)
     res[i] = {out[3 * i], out[3 * i + 1], out[3 * i + 2]};
@@ -296,6 +308,42 @@ static void collapse_short_edges(Mesh& m, double low, double high,
       if (x != a && x != b && nbr[b].count(x)) ++sharedCount;
     if (sharedCount > 2) continue;
 
+    // local manifoldness after the remap: simulate the merge over the
+    // incident faces and reject on any duplicate directed edge or
+    // >2-face undirected edge.  (All faces of a post-merge edge (keep,x)
+    // are incident to a or b, and other edges keep their multiplicity,
+    // so the local set is sufficient.)  The link condition alone misses
+    // this when a and b were joined through an earlier zipper merge.
+    {
+      std::vector<int> loc = finc[a];
+      loc.insert(loc.end(), finc[b].begin(), finc[b].end());
+      std::sort(loc.begin(), loc.end());
+      loc.erase(std::unique(loc.begin(), loc.end()), loc.end());
+      std::unordered_set<uint64_t> dirE;
+      std::unordered_map<uint64_t, int> undE;
+      bool bad2 = false;
+      for (int fi : loc) {
+        const Tri& t = m.f[fi];
+        bool dead = false;
+        for (int s = 0; s < 3; ++s) {
+          int64_t p = t[s], q = t[(s + 1) % 3];
+          if ((p == a && q == b) || (p == b && q == a)) dead = true;
+        }
+        if (dead) continue;
+        Tri r2;
+        for (int s = 0; s < 3; ++s)
+          r2[s] = (t[s] == a || t[s] == b) ? keep : t[s];
+        for (int s = 0; s < 3; ++s) {
+          int64_t p = r2[s], q = r2[(s + 1) % 3];
+          uint64_t dk = (uint64_t(p) << 32) | uint64_t(uint32_t(q));
+          if (!dirE.insert(dk).second) { bad2 = true; break; }
+          if (++undE[ekey(p, q)] > 2) { bad2 = true; break; }
+        }
+        if (bad2) break;
+      }
+      if (bad2) continue;
+    }
+
     // per-operation volume-change guard (El Topo m_max_volume_change,
     // c_el_topo_api.cpp:30): local signed volume over incident faces
     if (max_vol < 1e299) {
@@ -335,12 +383,15 @@ static void collapse_short_edges(Mesh& m, double low, double high,
   std::vector<char> ok(accepted.size(), 1);
   for (int pass = 0; pass < 8; ++pass) {
     std::vector<V3> proposed = m.v;
+    std::vector<int32_t> rep(V);
+    for (size_t i = 0; i < V; ++i) rep[i] = (int32_t)i;
     for (size_t k = 0; k < accepted.size(); ++k)
       if (ok[k]) {
         proposed[accepted[k].keep] = accepted[k].pos;
         proposed[accepted[k].drop] = accepted[k].pos;
+        rep[accepted[k].drop] = (int32_t)accepted[k].keep;
       }
-    std::vector<V3> safe = ccd_limit(m.v, proposed, m.f);
+    std::vector<V3> safe = ccd_limit(m.v, proposed, m.f, &rep);
     bool changed = false;
     for (size_t k = 0; k < accepted.size(); ++k) {
       if (!ok[k]) continue;
@@ -351,6 +402,46 @@ static void collapse_short_edges(Mesh& m, double low, double high,
       }
     }
     if (!changed) break;
+  }
+
+  // Global post-remap manifoldness: the JOINT remap of the batch can
+  // still create duplicate directed edges or >2-face edges that no
+  // single candidate's local simulation shows (two disjoint collapses
+  // pinching the same quad).  Simulate the whole batch and iteratively
+  // reject collapses whose kept vertex touches a violating edge.
+  for (int guard = 0; guard < 8; ++guard) {
+    DSU d2(V);
+    for (size_t k = 0; k < accepted.size(); ++k)
+      if (ok[k]) d2.p[accepted[k].drop] = accepted[k].keep;
+    std::unordered_map<uint64_t, int> dirE, undE;
+    for (auto& t : m.f) {
+      Tri r2 = {d2.find(t[0]), d2.find(t[1]), d2.find(t[2])};
+      if (r2[0] == r2[1] || r2[1] == r2[2] || r2[0] == r2[2]) continue;
+      for (int s = 0; s < 3; ++s) {
+        int64_t p = r2[s], q = r2[(s + 1) % 3];
+        dirE[(uint64_t(p) << 32) | uint64_t(uint32_t(q))]++;
+        undE[ekey(p, q)]++;
+      }
+    }
+    std::unordered_set<int64_t> badv;
+    for (auto& kv : dirE)
+      if (kv.second > 1) {
+        badv.insert(int64_t(kv.first >> 32));
+        badv.insert(int64_t(kv.first & 0xffffffffu));
+      }
+    for (auto& kv : undE)
+      if (kv.second > 2) {
+        badv.insert(int64_t(kv.first >> 32));
+        badv.insert(int64_t(kv.first & 0xffffffffu));
+      }
+    if (badv.empty()) break;
+    bool changed = false;
+    for (size_t k = 0; k < accepted.size(); ++k)
+      if (ok[k] && badv.count(d2.find(accepted[k].keep))) {
+        ok[k] = 0;
+        changed = true;
+      }
+    if (!changed) break;  // violations pre-date this batch: keep going
   }
 
   DSU dsu(V);
@@ -693,6 +784,7 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
   };
 
   std::unordered_set<int> touched;
+  std::unordered_set<uint64_t> new_diag;
   for (auto& kv : em) {
     if (kv.second.size() != 2) continue;
     auto [i1, s1] = kv.second[0];
@@ -702,7 +794,7 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     int64_t a = m.f[i1][s1], b = m.f[i1][(s1 + 1) % 3];
     int64_t c = m.f[i1][(s1 + 2) % 3], d = m.f[i2][(s2 + 2) % 3];
     if (c == d) continue;
-    if (em.count(ekey(c, d))) continue;
+    if (em.count(ekey(c, d)) || new_diag.count(ekey(c, d))) continue;
     auto dev = [&](int val, int64_t i) { double e = val - target(i); return e * e; };
     double before = dev(valence[a], a) + dev(valence[b], b) + dev(valence[c], c) + dev(valence[d], d);
     double after = dev(valence[a] - 1, a) + dev(valence[b] - 1, b) + dev(valence[c] + 1, c) + dev(valence[d] + 1, d);
@@ -719,6 +811,10 @@ static void flip_edges(Mesh& m, const std::vector<int>& protect) {
     valence[a]--; valence[b]--; valence[c]++; valence[d]++;
     touched.insert(i1);
     touched.insert(i2);
+    // register the new diagonal so a second quad with the same opposite
+    // corners cannot flip onto it (new_diag guard above); stale em entries
+    // for the two faces' outer edges are harmless — `touched` skips them
+    new_diag.insert(ekey(c, d));
     // keep the collision grid current: the rebuilt triangles' bounding
     // boxes now include vertex d (resp. c), which the stale entries may
     // not cover; duplicate ids are harmless (query dedupes, vertices are
@@ -787,22 +883,39 @@ static int run_remesh(const double* v_in, int64_t nv,
   double high = 4.0 / 3.0 * target_edge_length;
   double low = 4.0 / 5.0 * target_edge_length;
   int64_t merges = 0;
+  const bool dbg = std::getenv("GEOMLIB_DEBUG") != nullptr;
+  auto dup_count = [&](const char* tag) {
+    if (!dbg) return;
+    std::unordered_map<uint64_t, int> dirE;
+    int dups = 0;
+    for (auto& t : m.f)
+      for (int s = 0; s < 3; ++s) {
+        uint64_t k = (uint64_t(t[s]) << 32) | uint64_t(uint32_t(t[(s + 1) % 3]));
+        if (++dirE[k] > 1) ++dups;
+      }
+    std::fprintf(stderr, "[geomlib] %s: dup_directed=%d F=%zu\n", tag, dups,
+                 m.f.size());
+  };
   for (int it = 0; it < iterations; ++it) {
     auto protect = protect_border ? border_flags(m)
                                   : std::vector<int>(m.v.size(), 0);
     if (merge_eps > 0) {
       merges += merge_close_sheets(m, merge_eps, max_vol, protect);
       cleanup_faces(m);
+      dup_count("merge");
     }
     split_long_edges(m, high);
+    dup_count("split");
     protect = protect_border ? border_flags(m)
                              : std::vector<int>(m.v.size(), 0);
     collapse_short_edges(m, low, high, protect, max_vol);
     cleanup_faces(m);
     compact(m);
+    dup_count("collapse");
     protect = protect_border ? border_flags(m)
                              : std::vector<int>(m.v.size(), 0);
     flip_edges(m, protect);
+    dup_count("flip");
     // CCD-guard the relaxation: it moves vertices off the surface and can
     // fold a surface in contact through itself (tests/test_self_collision)
     std::vector<V3> before = m.v;

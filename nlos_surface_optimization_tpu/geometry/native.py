@@ -73,6 +73,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
     ]
+    lib.geomlib_integrate_ccd_rep.restype = ctypes.c_int
+    lib.geomlib_integrate_ccd_rep.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+    ]
     _LIB = lib
     return _LIB
 
@@ -172,11 +180,18 @@ def face_affinity_native(f: np.ndarray) -> np.ndarray:
 
 
 def integrate_ccd_native(old_v: np.ndarray, new_v: np.ndarray,
-                         f: np.ndarray, max_passes: int = 8) -> np.ndarray:
+                         f: np.ndarray, max_passes: int = 8,
+                         rep: Optional[np.ndarray] = None) -> np.ndarray:
     """Collision-safe vertex integration with full CCD (vertex-triangle +
     edge-edge first-contact times, geomlib/ccd.cpp) — the el_topo_integrate
     role (c_el_topo_api.cpp:75-101).  Raises RuntimeError if geomlib is
-    unavailable."""
+    unavailable.
+
+    `rep` [V] i32 (optional) maps vertices to merge representatives:
+    primitive pairs whose vertex sets meet under rep are treated as
+    adjacent (contacts between them skipped) — required for edge-collapse
+    validation, where the dropped vertex legitimately lands on the kept
+    vertex's incident faces at t=1."""
     lib = _load()
     if lib is None:
         raise RuntimeError("geomlib not built")
@@ -184,11 +199,18 @@ def integrate_ccd_native(old_v: np.ndarray, new_v: np.ndarray,
     new_v = np.ascontiguousarray(new_v, np.float64)
     f = np.ascontiguousarray(f, np.int32)
     out = np.empty_like(old_v)
-    lib.geomlib_integrate_ccd(
+    if rep is None:
+        rep_ptr = ctypes.POINTER(ctypes.c_int32)()
+    else:
+        rep = np.ascontiguousarray(rep, np.int32)
+        assert rep.shape == (old_v.shape[0],)
+        rep_ptr = rep.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.geomlib_integrate_ccd_rep(
         old_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         new_v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         old_v.shape[0],
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), f.shape[0],
+        rep_ptr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         int(max_passes),
     )

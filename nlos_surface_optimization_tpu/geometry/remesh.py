@@ -153,12 +153,15 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
         ok = [True] * len(accepted)
         for _ in range(8):
             proposed = before.copy()
+            rep = np.arange(before.shape[0], dtype=np.int32)
             for flag, (keep, drop, pos) in zip(ok, accepted):
                 if flag:
                     proposed[keep] = pos
                     proposed[drop] = pos
+                    rep[drop] = keep
             safe = np.asarray(
-                integrate_vertices(before, np.asarray(f, np.int32), proposed),
+                integrate_vertices(before, np.asarray(f, np.int32), proposed,
+                                   rep=rep),
                 np.float64,
             )
             changed = False
@@ -171,6 +174,42 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
                     changed = True
             if not changed:
                 break
+        # Global post-remap manifoldness: the JOINT remap of the batch can
+        # create duplicate directed / >2-face edges no single candidate
+        # shows (two disjoint collapses pinching one quad); iteratively
+        # reject collapses whose kept vertex touches a violating edge.
+        for _ in range(8):
+            r = np.arange(before.shape[0])
+            for flag, (keep, drop, pos) in zip(ok, accepted):
+                if flag:
+                    r[drop] = keep
+            fr = r[np.asarray(f, np.int64)]
+            live = ((fr[:, 0] != fr[:, 1]) & (fr[:, 1] != fr[:, 2])
+                    & (fr[:, 0] != fr[:, 2]))
+            from collections import Counter
+            dirE: Counter = Counter()
+            undE: Counter = Counter()
+            for t in fr[live]:
+                for s in range(3):
+                    p, q = int(t[s]), int(t[(s + 1) % 3])
+                    dirE[(p, q)] += 1
+                    undE[(min(p, q), max(p, q))] += 1
+            badv = set()
+            for (p, q), c in dirE.items():
+                if c > 1:
+                    badv.update((p, q))
+            for (p, q), c in undE.items():
+                if c > 2:
+                    badv.update((p, q))
+            if not badv:
+                break
+            changed = False
+            for k, (keep, drop, pos) in enumerate(accepted):
+                if ok[k] and int(r[keep]) in badv:
+                    ok[k] = False
+                    changed = True
+            if not changed:
+                break  # violations pre-date this batch
         for flag, (keep, drop, pos) in zip(ok, accepted):
             if flag:
                 v[keep] = pos
@@ -406,7 +445,8 @@ def isotropic_remesh_py(v: np.ndarray, f: np.ndarray,
 
 
 def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
-                       collision_aware: bool = True) -> np.ndarray:
+                       collision_aware: bool = True,
+                       rep: np.ndarray = None) -> np.ndarray:
     """Apply a proposed vertex update (El Topo el_topo_integrate dt=1,
     c_el_topo_api.cpp:75-101).
 
@@ -416,7 +456,12 @@ def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
     Fallback when geomlib is unavailable: a conservative vertex-path test —
     each vertex's segment old->new is cast against the OLD mesh (excluding
     its incident faces) and stopped at 90% of the first intersection
-    (edge-edge sweeps are not modeled there)."""
+    (edge-edge sweeps are not modeled there).
+
+    `rep` [V] (optional) maps vertices to merge representatives; contacts
+    between primitives whose vertex sets meet under rep are skipped (edge
+    collapses legitimately land the dropped vertex on the kept vertex's
+    incident faces at t=1)."""
     old_v = np.asarray(old_v, np.float64)
     new_v = np.asarray(new_v, np.float64)
     if (not collision_aware or old_v.shape != new_v.shape
@@ -425,7 +470,8 @@ def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
         return new_v
     from . import native
     if native.available():
-        return native.integrate_ccd_native(old_v, new_v, np.asarray(f))
+        return native.integrate_ccd_native(old_v, new_v, np.asarray(f),
+                                           rep=rep)
     import jax.numpy as jnp
 
     from .intersect import moller_trumbore
@@ -446,11 +492,15 @@ def integrate_vertices(old_v: np.ndarray, f: np.ndarray, new_v: np.ndarray,
     )
     t = np.asarray(t)
     hit = np.asarray(hit)
-    # exclude faces incident to the vertex
+    # exclude faces incident to the vertex (under rep when merging)
     V = old_v.shape[0]
+    r = (np.arange(V) if rep is None
+         else np.asarray(rep, np.int64))
     incident = np.zeros((V, f.shape[0]), bool)
     for k in range(3):
         incident[f[:, k], np.arange(f.shape[0])] = True
+        if rep is not None:
+            incident |= (r[:, None] == r[f[:, k]][None, :])
     ok = hit & ~incident & (t > 1e-9) & (t < dist[:, None])
     t_first = np.where(ok, t, np.inf).min(axis=1)
     scale = np.where(np.isfinite(t_first), 0.9 * t_first / np.maximum(dist, 1e-30),
