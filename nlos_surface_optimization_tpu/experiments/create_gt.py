@@ -33,11 +33,17 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
     samples = sample_num or spec.gt_sample_num
     key = jax.random.key(0) if key is None else key
 
+    # memory knob: the tracer materializes [Lc, F, spt, 3] ray tensors, so
+    # cap the per-chunk ray count at ~2M (the flagship working set) — a
+    # fixed Lc=256 OOMs HBM on full-resolution GT meshes (bunny: 69k faces)
+    F = int(gt_f.shape[0])
+    spt0 = 1 + (samples - 1) // max(F, 1)
+    chunk = max(1, min(256, 2_000_000 // max(F * spt0, 1)))
     cfg = RenderConfig(
         num_samples=samples,
         num_bins=spec.num_bins,
         distance_resolution=spec.distance_resolution,
-        source_chunk=256,
+        source_chunk=chunk,
     )
     lighting, lnormal = make_confocal_scan(
         res, lower=spec.scan_lower, upper=spec.scan_upper

@@ -114,6 +114,35 @@ def _interp_attrs(mesh: Mesh, bary, dirs, face_n, cfg: RenderConfig):
     return normal, alb
 
 
+def _occl_skip_mask(dirs, normal, face_n, lighting_normal, pre_valid):
+    """Rays whose contribution is EXACTLY zero in every consumer (forward
+    splat, analytic backward, intensity pass, per-vertex diagnostic) and
+    whose occlusion result is therefore irrelevant.
+
+    Zeroing these rays' segments before the visibility query is a pure
+    optimization: on closed meshes roughly half the samples sit on
+    backfacing triangles, and precisely those rays' segments cross the
+    whole body — the worst case for every broad phase.
+
+    Exactness argument per consumer (cos2 = source-normal cosine, cos3m =
+    shading-normal cosine, cos3f = face-normal cosine):
+      forward   max(0, cos2*cos3m)   -> needs cos2*cos3m <= 0
+      intensity max(0, cos2*cos3f)   -> needs cos2*cos3f <= 0
+      backward  separate clamps      -> needs cos2 <= 0 or cos3m <= 0
+      vgb (fn)  separate clamps      -> cos2*cos3f<=0 ∧ ¬(both<0) gives it
+    (the reference clamps the forward PRODUCT but the backward cosines
+    separately, transient_and_gradient.cpp:204-233 vs :944-950, so the
+    both-negative case forward-contributes and is NOT skipped)."""
+    cos2 = jnp.sum(lighting_normal[:, None, None, :] * dirs, axis=-1)
+    cos3m = -jnp.sum(normal * dirs, axis=-1)
+    cos3f = -jnp.sum(
+        jnp.broadcast_to(face_n[None, :, None, :], dirs.shape) * dirs,
+        axis=-1)
+    dead = ((cos2 * cos3m <= 0.0) & (cos2 * cos3f <= 0.0)
+            & ((cos2 <= 0.0) | (cos3m <= 0.0)))
+    return ~pre_valid | dead
+
+
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
                 spt: int, source_offset=0, occl_ray_chunk: int = 16384,
                 accel=None, cluster_lists=None) -> RayBatch:
@@ -137,6 +166,12 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
      o_flat, d_flat, t_flat, fid) = _sample_chunk(
         mesh, lighting, key, cfg, spt, source_offset)
     R = Lc * F * spt
+
+    normal, alb = _interp_attrs(mesh, bary, dirs, face_n, cfg)
+    pre_valid = (mesh.f_valid[None, :, None] & in_range
+                 & (area > 0)[None, :, None])
+    skip = _occl_skip_mask(dirs, normal, face_n, lighting_normal, pre_valid)
+    t_flat = jnp.where(skip.reshape(R), 0.0, t_flat)
 
     # Visibility: nearest hit must be the sampled face <=> segment unblocked.
     backend = cfg.occl_backend
@@ -206,8 +241,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
             ),
         ).reshape(-1)[:R].reshape(Lc, F, spt)
 
-    valid = mesh.f_valid[None, :, None] & in_range & ~occ & (area > 0)[None, :, None]
-    normal, alb = _interp_attrs(mesh, bary, dirs, face_n, cfg)
+    valid = pre_valid & ~occ
     return RayBatch(dirs=dirs, h=hs, normal=normal, albedo=alb, bary=bary,
                     valid=valid, area=area, face_n=face_n)
 
@@ -252,6 +286,8 @@ def trace_forward_fused(mesh: Mesh, lighting, lighting_normal, key,
 
     from .fused_kernels import occluded_splat_pallas
 
+    skip = _occl_skip_mask(dirs, normal, face_n, lighting_normal, pre_valid)
+    t_flat = jnp.where(skip.reshape(-1), 0.0, t_flat)
     occ, hist = occluded_splat_pallas(
         o_flat, d_flat, t_flat, fid,
         contrib.reshape(-1), bin_f.reshape(-1),

@@ -313,9 +313,16 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     nbm = Lc * nbs
     p_end = o_p + d_p * t_p
     pb = p_end.reshape(nbm, RB, 3)
-    plo = pb.min(axis=1)
-    phi = pb.max(axis=1)
     a_seg = o_p.reshape(nbm, RB, 3)[:, 0, :]                  # the source
+    # dead rays (t == 0: padding, or zero-contribution rays skipped by
+    # core._occl_skip_mask) must not inflate the endpoint box — their
+    # endpoint IS the source (or the origin, for padding)
+    mb = (t_p.reshape(nbm, RB, 1) > 0.0)
+    plo = jnp.where(mb, pb, jnp.inf).min(axis=1)
+    phi = jnp.where(mb, pb, -jnp.inf).max(axis=1)
+    none = ~jnp.any(mb, axis=(1, 2))[:, None]
+    plo = jnp.where(none, a_seg, plo)
+    phi = jnp.where(none, a_seg, phi)
     b_seg = 0.5 * (plo + phi)
     half = 0.5 * (phi - plo)
     counts, lists = _slab_candidates(a_seg, b_seg, half, boxes, KA_MAX)

@@ -183,14 +183,25 @@ def _block_boxes(o, d, t_self, nb):
     p = o + d * t_self[:, None]
     ob = o.reshape(nb, BLOCK_R, 3)
     pb = p.reshape(nb, BLOCK_R, 3)
+    # dead rays (t == 0: padding, or zero-contribution rays skipped by
+    # core._occl_skip_mask) must not inflate the endpoint box; with no
+    # live ray the block degenerates to its origin box (empty sweep)
+    mb = (t_self.reshape(nb, BLOCK_R, 1) > 0.0)
 
-    def box(x):
-        lo = x.min(axis=1)
-        hi = x.max(axis=1)
+    def box(x, m=None):
+        if m is None:
+            lo = x.min(axis=1)
+            hi = x.max(axis=1)
+        else:
+            lo = jnp.where(m, x, jnp.inf).min(axis=1)
+            hi = jnp.where(m, x, -jnp.inf).max(axis=1)
         return 0.5 * (lo + hi), 0.5 * (hi - lo)
 
     oc, oh = box(ob)
-    pc, ph = box(pb)
+    pc, ph = box(pb, mb)
+    none = ~jnp.any(mb, axis=(1, 2))[:, None]
+    pc = jnp.where(none, oc, pc)
+    ph = jnp.where(none, 0.0, ph)
     half = jnp.maximum(oh, ph)
     return jnp.concatenate([oc, pc, half], axis=1).astype(jnp.float32)
 
