@@ -102,8 +102,12 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
     only swept vertex-face + edge-edge CCD catches a dragged face sweeping
     through an opposing sheet (tests/test_self_collision.py)."""
     V = len(v)
-    # vertex -> neighbor set
+    # vertex -> neighbor set, vertex -> incident faces
     nbr: List[Set[int]] = [set() for _ in range(V)]
+    finc: List[List[int]] = [[] for _ in range(V)]
+    for i, tri in enumerate(f):
+        for k in range(3):
+            finc[int(tri[k])].append(i)
     for a, b, _, _ in _edges_of(f):
         nbr[a].add(b)
         nbr[b].add(a)
@@ -140,6 +144,36 @@ def _collapse_short_edges(v: List[np.ndarray], f: np.ndarray, low: float,
             continue
         # link condition (simplified): <= 2 shared neighbors
         if len((nbr[a] & nbr[b]) - {a, b}) > 2:
+            continue
+        # local manifoldness after the remap (geomlib remesh.cpp:312-345):
+        # simulate the merge over the incident faces; reject on any
+        # duplicate directed edge or >2-face undirected edge.  The link
+        # condition alone misses this when a and b were joined through an
+        # earlier zipper merge.
+        loc = sorted(set(finc[a]) | set(finc[b]))
+        dirE: Set[Tuple[int, int]] = set()
+        undC: Dict[Tuple[int, int], int] = defaultdict(int)
+        bad2 = False
+        for fi in loc:
+            tri = f[fi]
+            if any((tri[s] == a and tri[(s + 1) % 3] == b)
+                   or (tri[s] == b and tri[(s + 1) % 3] == a)
+                   for s in range(3)):
+                continue  # face dies with the edge
+            r2 = [keep if int(x) in (a, b) else int(x) for x in tri]
+            for s in range(3):
+                p, q = r2[s], r2[(s + 1) % 3]
+                if (p, q) in dirE:
+                    bad2 = True
+                    break
+                dirE.add((p, q))
+                undC[(min(p, q), max(p, q))] += 1
+                if undC[(min(p, q), max(p, q))] > 2:
+                    bad2 = True
+                    break
+            if bad2:
+                break
+        if bad2:
             continue
         used[a] = used[b] = True
         accepted.append((keep, drop, np.asarray(pos, np.float64)))
@@ -265,6 +299,7 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
             em[(min(a, b), max(a, b))].append((idx, s))
 
     touched: Set[int] = set()
+    new_diag: Set[Tuple[int, int]] = set()
     for _, uses in em.items():
         if len(uses) != 2:
             continue
@@ -278,8 +313,13 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
         d = f[i2][(s2 + 2) % 3]
         if c == d:
             continue
-        if (min(c, d), max(c, d)) in em:
-            continue  # flip would create a duplicate edge
+        diag = (min(c, d), max(c, d))
+        # duplicate-edge guard: the diagonal must exist neither in the
+        # pre-sweep mesh NOR among diagonals created earlier THIS sweep
+        # (two quads sharing opposite corners flipping onto the same
+        # diagonal would make a >2-face edge); mirrors geomlib flip_edges
+        if diag in em or diag in new_diag:
+            continue
         def dev(val, i):
             return (val - target[i]) ** 2
         before = (dev(valence[a], a) + dev(valence[b], b)
@@ -310,6 +350,7 @@ def _flip_edges(v: List[np.ndarray], f: np.ndarray, protect: np.ndarray
         valence[d] += 1
         touched.add(i1)
         touched.add(i2)
+        new_diag.add(diag)
     return f
 
 

@@ -86,9 +86,18 @@ def save_checkpoint(path: str, *, v: np.ndarray, f: np.ndarray,
                     opt_m: Optional[np.ndarray] = None,
                     opt_v: Optional[np.ndarray] = None,
                     opt_step: int = 0,
+                    loop_state: Optional[dict] = None,
+                    history: Optional[dict] = None,
                     extra: Optional[dict] = None) -> None:
     """One-file resume checkpoint (scipy .mat so MATLAB tooling can read the
-    same dumps the reference's collect_progress_results.m consumes)."""
+    same dumps the reference's collect_progress_results.m consumes).
+
+    `loop_state` / `history` carry the outer loop's full phase-machine
+    snapshot AT THE START of the checkpointed iteration (scalars prefixed
+    `ls_`, history rows prefixed `hist_`) so
+    InverseRenderingLoop.from_checkpoint can re-execute that iteration
+    bit-for-bit — the beyond-parity feature the reference lacks (its
+    progress dumps hold only mesh+transient, exp_bunny/test.py:186-187)."""
     payload = {
         "v": np.asarray(v), "f": np.asarray(f),
         "iteration": iteration, "rng_key": np.asarray(rng_key),
@@ -98,6 +107,12 @@ def save_checkpoint(path: str, *, v: np.ndarray, f: np.ndarray,
         payload["opt_m"] = np.asarray(opt_m)
     if opt_v is not None:
         payload["opt_v"] = np.asarray(opt_v)
+    if loop_state:
+        for k, val in loop_state.items():
+            payload["ls_" + k] = np.asarray(val)
+    if history:
+        for k, val in history.items():
+            payload["hist_" + k] = np.asarray(val, np.float64)
     if extra:
         payload.update({k: np.asarray(val) for k, val in extra.items()})
     tmp = path + ".tmp"

@@ -94,7 +94,8 @@ class InverseRenderingLoop:
                  key: jax.Array,
                  gt_mesh=None,
                  inverse_render_fn: Optional[Callable] = None,
-                 log: Callable[[str], None] = print):
+                 log: Callable[[str], None] = print,
+                 _resume: Optional[dict] = None):
         self.gt = np.asarray(gt_transient)
         self.lighting = np.asarray(lighting)
         self.lnormal = np.asarray(lighting_normal)
@@ -114,25 +115,89 @@ class InverseRenderingLoop:
 
         self._inverse = inverse_render_fn or _default_inverse
 
-        v, f = isotropic_remesh(
-            init_v, init_f, 0.5 / loop_cfg.scan_resolution,
-            iterations=loop_cfg.remesh_iterations,
-        )
-        from ..geometry.accel import morton_order_faces
-        f = morton_order_faces(v, f)
+        if _resume is None:
+            v, f = isotropic_remesh(
+                init_v, init_f, 0.5 / loop_cfg.scan_resolution,
+                iterations=loop_cfg.remesh_iterations,
+            )
+            from ..geometry.accel import morton_order_faces
+            f = morton_order_faces(v, f)
+            self.state = LoopState(
+                v=v, f=f, old_v=v.copy(),
+                lr=loop_cfg.lr0, loss_epsilon=loop_cfg.loss_epsilon,
+                scan_resolution=float(loop_cfg.scan_resolution),
+                sample_num=float(render_cfg.num_samples),
+                smooth_ratio=loop_cfg.smooth_ratio,
+            )
+            self._rebuild_topology()
+            self.weight = np.asarray(
+                create_weighting_function(self.gt, loop_cfg.gamma)
+            )
+            self._new_optimizer()
+            self.history = {"l2": [], "l2_original": [], "v2": []}
+        else:
+            self._restore(_resume)
+
+    def _restore(self, d: dict):
+        """Rebuild loop internals from a checkpoint dict (the start-of-
+        iteration snapshot written by step()); the next step() re-executes
+        the checkpointed iteration exactly."""
+        def sc(name, cast=float):
+            return cast(np.asarray(d[name]).ravel()[0])
+
+        l2_first = sc("ls_l2_first")
         self.state = LoopState(
-            v=v, f=f, old_v=v.copy(),
-            lr=loop_cfg.lr0, loss_epsilon=loop_cfg.loss_epsilon,
-            scan_resolution=float(loop_cfg.scan_resolution),
-            sample_num=float(render_cfg.num_samples),
-            smooth_ratio=loop_cfg.smooth_ratio,
+            v=np.asarray(d["v"], np.float32).reshape(-1, 3),
+            f=np.asarray(d["f"], np.int32).reshape(-1, 3),
+            old_v=np.asarray(d["ls_old_v"], np.float32).reshape(-1, 3),
+            t=sc("iteration", int),
+            run_count=sc("ls_run_count", int),
+            remesh_flag=False,  # snapshots are taken on render iterations
+            weight_flag=bool(sc("ls_weight_flag", int)),
+            testing_flag=sc("ls_testing_flag", int),
+            smooth_weight=sc("ls_smooth_weight"),
+            lr=sc("ls_lr"),
+            loss_epsilon=sc("ls_loss_epsilon"),
+            scan_resolution=sc("ls_scan_resolution"),
+            sample_num=sc("ls_sample_num"),
+            smooth_ratio=sc("ls_smooth_ratio"),
+            l2_first=None if np.isnan(l2_first) else l2_first,
         )
         self._rebuild_topology()
         self.weight = np.asarray(
-            create_weighting_function(self.gt, loop_cfg.gamma)
+            create_weighting_function(self.gt, self.cfg.gamma)
         )
         self._new_optimizer()
-        self.history = {"l2": [], "l2_original": [], "v2": []}
+        self.opt_state = self.opt_state._replace(
+            step=jnp.asarray(int(np.asarray(d["opt_step"]).ravel()[0]),
+                             jnp.int32),
+            m=jnp.asarray(np.asarray(d["opt_m"]).reshape(-1, 3)),
+            v=jnp.asarray(np.asarray(d["opt_v"]).reshape(-1, 3)),
+        )
+        self.history = {
+            k: list(np.asarray(d.get("hist_" + k, np.empty(0)),
+                               np.float64).ravel())
+            for k in ("l2", "l2_original", "v2")
+        }
+
+    @classmethod
+    def from_checkpoint(cls, path: str, gt_transient, lighting,
+                        lighting_normal, render_cfg: RenderConfig,
+                        loop_cfg: LoopConfig, gt_mesh=None,
+                        inverse_render_fn: Optional[Callable] = None,
+                        log: Callable[[str], None] = print
+                        ) -> "InverseRenderingLoop":
+        """Resume a killed run from a progress/%05d.mat checkpoint: the
+        returned loop's next step() reproduces the checkpointed iteration
+        (same RNG fold, same phase-machine state, same optimizer moments)
+        and the run continues as if never interrupted."""
+        from ..io.mat import load_checkpoint
+        d = load_checkpoint(path)
+        key = jax.random.wrap_key_data(
+            jnp.asarray(np.asarray(d["rng_key"], np.uint32)))
+        return cls(gt_transient, lighting, lighting_normal, render_cfg,
+                   loop_cfg, None, None, key, gt_mesh=gt_mesh,
+                   inverse_render_fn=inverse_render_fn, log=log, _resume=d)
 
     # ---------------------------------------------------------------- setup
 
@@ -210,6 +275,25 @@ class InverseRenderingLoop:
         if s.remesh_flag:
             return True  # remesh happened; render next call
 
+        # Start-of-iteration snapshot for the resume checkpoint: the
+        # weight_flag/smooth_weight/lr mutations below happen BEFORE the
+        # checkpoint write, so only this snapshot lets a resumed loop
+        # re-execute iteration t bit-for-bit.
+        snap = {
+            "old_v": s.old_v,
+            "run_count": s.run_count,
+            "weight_flag": int(s.weight_flag),
+            "testing_flag": int(s.testing_flag),
+            "smooth_weight": s.smooth_weight,
+            "lr": s.lr,
+            "loss_epsilon": s.loss_epsilon,
+            "scan_resolution": s.scan_resolution,
+            "sample_num": s.sample_num,
+            "smooth_ratio": s.smooth_ratio,
+            "l2_first": np.nan if s.l2_first is None else s.l2_first,
+        }
+        hist_snap = {k: list(vv) for k, vv in self.history.items()}
+
         tic = time.time()
         cfgc = self._current_cfg()
         mesh = make_mesh(
@@ -274,6 +358,7 @@ class InverseRenderingLoop:
                 opt_m=np.asarray(self.opt_state.m),
                 opt_v=np.asarray(self.opt_state.v),
                 opt_step=int(self.opt_state.step),
+                loop_state=snap, history=hist_snap,
                 extra={"transient": transient, "l2": l2,
                        "l2_original": original_l2, "grad": grad,
                        "smoothing_grad": sgrad,

@@ -49,7 +49,12 @@ class RayBatch(NamedTuple):
     normal: jax.Array     # [Lc,F,spt,3] shading normal (fn broadcast or vn interp)
     albedo: jax.Array     # [Lc,F,spt]
     bary: jax.Array       # [Lc,F,spt,3]
-    valid: jax.Array      # [Lc,F,spt] bool: f_valid & in-range & visible
+    valid: jax.Array      # [Lc,F,spt] bool: f_valid & in-range & visible.
+                          # Only meaningful for rays with nonzero shading
+                          # contribution: zero-contribution rays skip the
+                          # visibility query (_occl_skip_mask) and report
+                          # True even when geometrically occluded — do NOT
+                          # use as a coverage/visibility mask on its own.
     area: jax.Array       # [F] face areas
     face_n: jax.Array     # [F,3] unit face normals
 

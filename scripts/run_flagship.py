@@ -70,10 +70,10 @@ def main():
 
 `python scripts/run_flagship.py` — {len(l2)} optimization iterations in
 {wall / 60:.1f} min wall ({np.median(times):.2f} s median per rendered
-iteration incl. v2 eval + checkpoint), synthetic-GT bunny stand-in scene
-(the reference's mesh assets are not in the snapshot), 20k samples,
-B=1200 @ 1.2 mm, plateau-driven phase machine with {n_remesh} remesh
-block(s) and {n_shading} fn->vn shading switch(es)
+iteration incl. v2 eval + checkpoint), GT mesh
+`{os.environ.get("NLOS_MESH_DIR", "<synthetic stand-in>")}/bunny_centered.obj`,
+20k samples, B=1200 @ 1.2 mm, plateau-driven phase machine with
+{n_remesh} remesh block(s) and {n_shading} fn->vn shading switch(es)
 (reference flow: exp_bunny/test.py:116-219).
 
 | metric | first | last | change |

@@ -57,3 +57,34 @@ def bumpy_mesh():
             faces.append([a, a + n, a + 1])
             faces.append([a + n, a + n + 1, a + 1])
     return v, np.array(faces, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Smoke tier: `pytest -m smoke` is the fast pre-commit gate (< 2 min CPU).
+# Selection is centralized here (plus any @pytest.mark.smoke decorators):
+# one load-bearing test per subsystem — oracle forward/backward parity,
+# kernel-vs-jnp parity (pallas + fused), autograd twin, checkpoint
+# round-trip, remesh invariants, adam re-derivation.
+_SMOKE = {
+    "test_forward_matches_oracle[plane_mesh]",
+    "test_forward_smoothed_matches_oracle",
+    "test_gradient_matches_oracle[plane_mesh]",
+    "test_gradient_vn_matches_oracle",
+    "test_twin_ggx",
+    "test_pallas_occlusion_matches_reference",
+    "test_pallas_backend_end_to_end",
+    "test_fused_kernel_matches_reference",
+    "test_fused_backend_inverse_matches_jnp",
+    "test_delta_kernel_equals_raw",
+    "test_adam_modified_isotropic_denominator",
+    "test_remesh_edge_lengths_and_manifoldness",
+    "test_shard_invariance_nondivisible",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.name in _SMOKE:
+            item.add_marker(_pytest.mark.smoke)
