@@ -65,11 +65,12 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
                                     key, refine=1)
         fn = os.path.join(out_dir,
                           f"{spec.name}_transient_{res}_{i}.mat")
-        scipy.io.savemat(fn, {
+        scipy.io.savemat(fn + ".tmp", {
             "gt_transient": np.asarray(t),
             "gt_v": gt_v, "gt_f": gt_f,
             "lighting": lighting[idx],
             "bin_width": spec.distance_resolution,
         })
+        os.replace(fn + ".tmp", fn)  # crash-safe: no partial shards
         files.append(fn)
     return files

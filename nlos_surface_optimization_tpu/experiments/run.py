@@ -74,7 +74,7 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
                         scan_resolution: Optional[int],
                         sample_num: Optional[int],
                         transient_path: Optional[str],
-                        key, log):
+                        key, log, resume: bool = False):
     """Measured-capture pipeline (exp_s/test.py:55-110): load
     transient.mat, LCT-init from the data, optimize with no GT mesh/v2.
 
@@ -125,8 +125,8 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
         scan_resolution=res,
         checkpoint_dir=os.path.join(workdir, "progress"),
     )
-    loop = InverseRenderingLoop(gt, lighting, lnormal, cfg, loop_cfg,
-                                v0, f0, key, gt_mesh=None, log=log)
+    loop = _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg,
+                                v0, f0, key, None, log, resume)
     return loop.run(max_iters=max_iters)
 
 
@@ -189,6 +189,7 @@ def run_experiment(scene: str, workdir: str,
                    meshes: Optional[str] = None,
                    transient_path: Optional[str] = None,
                    spad_photons: Optional[int] = None,
+                   resume: bool = False,
                    key=None, log=print):
     """Run one scene end-to-end; returns (state, history)."""
     spec = SCENES[scene]
@@ -199,7 +200,7 @@ def run_experiment(scene: str, workdir: str,
     if spec.kind == "real":
         return run_real_experiment(spec, workdir, max_iters,
                                    scan_resolution, sample_num,
-                                   transient_path, key, log)
+                                   transient_path, key, log, resume=resume)
 
     gt_v, gt_f = _load_gt_mesh(spec, meshes)
     gt_mesh = make_mesh(gt_v, gt_f)
@@ -208,6 +209,11 @@ def run_experiment(scene: str, workdir: str,
                               f"{spec.name}_transient_{res}_*.mat")
     files = sorted(glob.glob(shard_glob),
                    key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    if files:
+        gt = load_transient_shards(files)
+        if gt.shape[0] != res * res:  # partial shards from a crashed run
+            log(f"discarding incomplete GT ({gt.shape[0]}/{res * res} rows)")
+            files = []
     if not files:
         log(f"creating GT transients for {scene} at {res}x{res}")
         files = create_gt(
@@ -216,7 +222,7 @@ def run_experiment(scene: str, workdir: str,
             sample_num=gt_sample_num or min(spec.gt_sample_num, 200_000),
             key=key,
         )
-    gt = load_transient_shards(files)
+        gt = load_transient_shards(files)
 
     if spec.spad_noise:
         gt = _apply_spad_noise(gt, spec, workdir, key, spad_photons, log)
@@ -248,9 +254,26 @@ def run_experiment(scene: str, workdir: str,
         scan_resolution=res,
         checkpoint_dir=os.path.join(workdir, "progress"),
     )
-    loop = InverseRenderingLoop(gt, lighting, lnormal, cfg, loop_cfg,
-                                v0, f0, key, gt_mesh=gt_mesh, log=log)
+    loop = _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg, v0, f0,
+                                key, gt_mesh, log, resume)
     return loop.run(max_iters=max_iters)
+
+
+def _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg, v0, f0, key,
+                         gt_mesh, log, resume: bool):
+    """Fresh loop, or — when `resume` and progress checkpoints exist — a
+    loop restored from the latest one (failure recovery: a crashed run
+    continues from its last completed iteration)."""
+    if resume and loop_cfg.checkpoint_dir:
+        ckpts = sorted(glob.glob(
+            os.path.join(loop_cfg.checkpoint_dir, "[0-9]*.mat")))
+        if ckpts:
+            log(f"resuming from {ckpts[-1]}")
+            return InverseRenderingLoop.from_checkpoint(
+                ckpts[-1], gt, lighting, lnormal, cfg, loop_cfg,
+                gt_mesh=gt_mesh, log=log)
+    return InverseRenderingLoop(gt, lighting, lnormal, cfg, loop_cfg,
+                                v0, f0, key, gt_mesh=gt_mesh, log=log)
 
 
 def main():

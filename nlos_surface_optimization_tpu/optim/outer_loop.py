@@ -64,6 +64,12 @@ class LoopConfig:
     # broad-phase visibility culling (geometry/accel.py); rebuilt every
     # iteration (vertices move), K bucketed so jit caches stay warm
     use_visibility_accel: bool = False
+    # pad (V, F) to geometric shape buckets (geometry.mesh.bucket_size) so
+    # remeshes reuse compiled programs: padded faces are f_valid=False and
+    # contribute exactly zero; spt comes from the valid count (api._spt).
+    # Essential when XLA compiles are expensive (serving tunnels compile
+    # in minutes at 10k+ faces); costs <= 30% padded FLOPs worst-case.
+    pad_shapes: bool = True
 
 
 @dataclasses.dataclass
@@ -244,7 +250,7 @@ class InverseRenderingLoop:
             s.v, s.f, target, iterations=self.cfg.remesh_iterations
         )
         # cull invisible triangles (rendering.py:271-278)
-        mesh = make_mesh(s.v, s.f)
+        mesh = self._make_mesh()
         cfgc = self._current_cfg()
         inten = np.asarray(render_intensity(
             mesh, self.lighting, self.lnormal, cfgc, self.key
@@ -296,8 +302,7 @@ class InverseRenderingLoop:
 
         tic = time.time()
         cfgc = self._current_cfg()
-        mesh = make_mesh(
-            s.v, s.f,
+        mesh = self._make_mesh(
             vn=self._vertex_normals() if cfgc.normal == "vn" else None,
         )
         k = jax.random.fold_in(self.key, s.t)
@@ -305,8 +310,11 @@ class InverseRenderingLoop:
         transient = np.asarray(transient)
         grad = np.asarray(grad)[: s.v.shape[0]]
 
-        sval, sgrad = _ns(mesh.v, mesh.f, mesh.f_valid,
-                          jnp.asarray(self.affinity))
+        aff = self.affinity
+        if mesh.f.shape[0] != aff.shape[0]:  # pad_shapes: -1 = no neighbor
+            aff = np.pad(aff, ((0, mesh.f.shape[0] - aff.shape[0]), (0, 0)),
+                         constant_values=-1)
+        sval, sgrad = _ns(mesh.v, mesh.f, mesh.f_valid, jnp.asarray(aff))
         sval = float(sval)
         sgrad = np.asarray(sgrad)[: s.v.shape[0]]
 
@@ -398,6 +406,16 @@ class InverseRenderingLoop:
         if s.run_count == self.cfg.forced_remesh_every:
             s.remesh_flag = True
         return True
+
+    def _make_mesh(self, vn=None):
+        """Mesh for rendering, shape-bucketed when cfg.pad_shapes."""
+        s = self.state
+        if not self.cfg.pad_shapes:
+            return make_mesh(s.v, s.f, vn=vn)
+        from ..geometry.mesh import bucket_size
+        return make_mesh(s.v, s.f, vn=vn,
+                         pad_v=bucket_size(s.v.shape[0]),
+                         pad_f=bucket_size(s.f.shape[0]))
 
     def _vertex_normals(self):
         from ..geometry.mesh import vertex_normals

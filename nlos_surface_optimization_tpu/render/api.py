@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from ..geometry.mesh import Mesh
@@ -38,6 +39,14 @@ from .core import (
     vertex_gradient_bins_chunk,
 )
 from .kernels import jitter_convolve, smooth_and_coarsen
+
+
+def _spt(cfg: RenderConfig, mesh: Mesh) -> int:
+    """samples-per-face from the VALID face count, so shape-bucketed
+    (padded) meshes keep the reference's allocation 1+(S-1)//F
+    (transient_and_gradient.cpp:184-191) — padded rows are f_valid=False
+    and contribute zero but must not dilute the per-face sample budget."""
+    return cfg.samples_per_face(int(np.asarray(mesh.f_valid).sum()))
 
 
 def _use_fused(cfg: RenderConfig, mesh: Mesh, accel) -> bool:
@@ -144,7 +153,7 @@ def render_transient(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
 
     accel/cluster_lists (from render.prepare_visibility) enable broad-phase
     visibility culling."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     r = cfg.bin_refine_resolution if refine is None else refine
     a = jnp.float32(0.1) if alpha is None else alpha
     t = _render_transient_impl(mesh, lighting, lighting_normal, key, a, cfg,
@@ -189,7 +198,7 @@ def render_intensity(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
                      key):
     """Per-face visibility intensity [F] summed over sources, for
     invisible-triangle culling (rendering.py:271-278)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     return _render_intensity_impl(mesh, lighting, lighting_normal, key, cfg, spt)
 
 
@@ -316,7 +325,7 @@ def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
     Parity with rendering.inverseRendering (rendering.py:252-269): the
     gradient is of  sum_l,b weight*(data - T_smooth)^2  averaged over sources,
     with the reference's forward tmp_refine semantics."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     a = jnp.float32(0.1) if alpha is None else alpha
     t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
                          a, cfg, spt, "vertex", accel=accel,
@@ -344,7 +353,7 @@ def inverse_render_albedo(mesh: Mesh, data, weight, lighting, lighting_normal,
                           cfg: RenderConfig, key):
     """(transient, scalar albedo gradient) — inverseRenderingAlbedo
     (rendering.py:241-250)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
                          jnp.float32(0.0), cfg, spt, "albedo")
     return t, g
@@ -354,7 +363,7 @@ def inverse_render_alpha(mesh: Mesh, data, weight, lighting, lighting_normal,
                          cfg: RenderConfig, key, alpha):
     """(transient, scalar GGX-roughness gradient) — inverseRenderingAlpha
     (rendering.py:232-238)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
                          alpha, cfg, spt, "alpha")
     return t, g
@@ -378,7 +387,7 @@ def vertex_gradient_bins(mesh: Mesh, lighting, lighting_normal,
                          cfg: RenderConfig, key, vertex_num: int):
     """Per-bin single-vertex gradient diagnostic [B,3]
     (rendering.py:26-30 / streamed_render_vertex_gradient)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     return _vgrad_impl(mesh, lighting, lighting_normal, key, cfg, spt,
                        vertex_num)
 
@@ -428,7 +437,7 @@ def render_transient_jitter(mesh: Mesh, lighting, lighting_normal,
                             jitter_offset: int):
     """Forward transient smoothed by a measured temporal kernel [K]
     (jitter variant, rendering.py:252-269 opt.jitter branch)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     t, _ = _jitter_impl(mesh, None, None, lighting, lighting_normal, key,
                         jnp.asarray(jitter_weight), jnp.zeros(1), cfg, spt,
                         jitter_offset, False)
@@ -440,7 +449,7 @@ def inverse_render_jitter(mesh: Mesh, data, weight, lighting,
                           jitter_weight, jitter_grad, jitter_offset: int):
     """(transient, vertex gradient, pathlengths) under the measured jitter
     kernel (jitter.pyx renderStreamedGradient)."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    spt = _spt(cfg, mesh)
     t, g = _jitter_impl(mesh, jnp.asarray(data), jnp.asarray(weight),
                         lighting, lighting_normal, key,
                         jnp.asarray(jitter_weight), jnp.asarray(jitter_grad),

@@ -40,10 +40,23 @@ def main():
         print(s, flush=True)
 
     t0 = time.time()
-    state, hist = run_experiment(
-        "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=64,
-        log=log,
-    )
+    # The serving tunnel occasionally restarts the TPU worker mid-run;
+    # per-iteration checkpoints + run_experiment(resume=True) make the run
+    # continue from the last completed iteration instead of dying.
+    attempts = 0
+    while True:
+        try:
+            state, hist = run_experiment(
+                "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=64,
+                resume=attempts > 0, log=log,
+            )
+            break
+        except jax.errors.JaxRuntimeError as e:
+            attempts += 1
+            if attempts > 4:
+                raise
+            log(f"TPU runtime error ({e}); retry {attempts} with resume")
+            time.sleep(30)
     wall = time.time() - t0
 
     outdir = os.path.join(ROOT, "RESULTS")
