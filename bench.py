@@ -81,11 +81,6 @@ def run_bench(res, samples, reps, vis):
     spt = cfg.samples_per_face(F)
     key = jax.random.key(0)
 
-    accel = cluster_lists = None
-    if vis == "culled":
-        from nlos_surface_optimization_tpu.render import prepare_visibility
-        accel, cluster_lists = prepare_visibility(mesh, lighting)
-
     B = cfg.num_bins
     data = jnp.zeros((L, B), jnp.float32)
     weight = jnp.ones((L, B), jnp.float32)
@@ -100,8 +95,7 @@ def run_bench(res, samples, reps, vis):
     # and the timing still measures the full iteration.
     def one_iter(k):
         t, g = _inverse_impl_host(mesh, data, weight, lighting, lnormal, k,
-                                  alpha, cfg, spt, "vertex", accel=accel,
-                                  cluster_lists=cluster_lists)
+                                  alpha, cfg, spt, "vertex")
         return jnp.sum(t) + jnp.sum(g)
 
     @jax.jit

@@ -90,10 +90,12 @@ class RenderConfig:
     # can be forced.
     occl_backend: str = "auto"
 
-    # Narrow phase for the CULLED visibility path: 'mxu' casts the whole
-    # Moller-Trumbore batch as one systolic-array matmul per cluster tile
-    # (geometry/accel.py mt_coefficients); 'vpu' = elementwise reference.
-    mt_narrow: str = "mxu"
+    # Analytic-backward backend: 'auto' fuses the per-ray gradient math +
+    # per-face reduction into the Pallas kernel (render/bwd_kernels.py) ON
+    # TPU for Lambertian vertex gradients; 'fused' forces the kernel
+    # (interpret mode off-TPU, f32 — for parity tests); 'xla' forces the
+    # plain-XLA backward_chunk everywhere.
+    bwd_backend: str = "auto"
 
     @property
     def bin_upper(self) -> float:

@@ -16,7 +16,7 @@ import scipy.io
 from ..config import RenderConfig, make_confocal_scan
 from ..geometry.mesh import Mesh, make_mesh, pad_mesh
 from ..io.obj import read_obj
-from ..render import render_transient
+from ..render import render_transient_host
 from .scenes import SceneSpec
 
 
@@ -61,8 +61,8 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
                 mesh, lighting[idx], lnormal[idx], cfg, key, dmesh, refine=1
             )
         else:
-            t, _ = render_transient(mesh, lighting[idx], lnormal[idx], cfg,
-                                    key, refine=1)
+            t, _ = render_transient_host(mesh, lighting[idx], lnormal[idx],
+                                         cfg, key, refine=1)
         fn = os.path.join(out_dir,
                           f"{spec.name}_transient_{res}_{i}.mat")
         scipy.io.savemat(fn + ".tmp", {

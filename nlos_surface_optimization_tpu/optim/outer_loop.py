@@ -61,9 +61,6 @@ class LoopConfig:
     scan_resolution: int = 64        # drives target edge 0.5/res
     checkpoint_dir: Optional[str] = None
     remesh_iterations: int = 3
-    # broad-phase visibility culling (geometry/accel.py); rebuilt every
-    # iteration (vertices move), K bucketed so jit caches stay warm
-    use_visibility_accel: bool = False
     # pad (V, F) to geometric shape buckets (geometry.mesh.bucket_size) so
     # remeshes reuse compiled programs: padded faces are f_valid=False and
     # contribute exactly zero; spt comes from the valid count (api._spt).
@@ -111,13 +108,13 @@ class InverseRenderingLoop:
         self.gt_mesh = gt_mesh
         self.log = log
         def _default_inverse(mesh, data, w, cfg, k):
-            accel = lists = None
-            if loop_cfg.use_visibility_accel:
-                from ..render import prepare_visibility
-
-                accel, lists = prepare_visibility(mesh, self.lighting)
-            return inverse_render(mesh, data, w, self.lighting, self.lnormal,
-                                  cfg, k, accel=accel, cluster_lists=lists)
+            # host-chunked dispatch: numerically identical to the fused
+            # lax.map program, but each chunk is its own short XLA program
+            # (serving tunnels bound per-program device time; a 64x64
+            # iteration as ONE program gets the worker killed)
+            from ..render import inverse_render_host
+            return inverse_render_host(mesh, data, w, self.lighting,
+                                       self.lnormal, cfg, k)
 
         self._inverse = inverse_render_fn or _default_inverse
 
@@ -252,7 +249,8 @@ class InverseRenderingLoop:
         # cull invisible triangles (rendering.py:271-278)
         mesh = self._make_mesh()
         cfgc = self._current_cfg()
-        inten = np.asarray(render_intensity(
+        from ..render import render_intensity_host
+        inten = np.asarray(render_intensity_host(
             mesh, self.lighting, self.lnormal, cfgc, self.key
         ))[: s.f.shape[0]]
         aff = face_affinity(s.f)

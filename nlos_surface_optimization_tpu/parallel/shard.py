@@ -106,34 +106,22 @@ def sharded_render_transient(mesh: Mesh, lighting, lighting_normal,
 @partial(jax.jit, static_argnames=("cfg", "spt", "mode", "dmesh"))
 def _sharded_inverse(mesh: Mesh, data, weight, lighting, lighting_normal,
                      key, alpha, cfg: RenderConfig, spt: int, mode: str,
-                     dmesh: DeviceMesh, accel=None, cluster_lists=None):
+                     dmesh: DeviceMesh):
     n = dmesh.devices.size
     lighting, lighting_normal, data, weight, L, Lp = _pad_sources(
         lighting, lighting_normal, data, weight, n
     )
     Lc = Lp // n
-    if accel is not None:
-        from ..geometry.accel import permute_mesh
-
-        mesh = permute_mesh(mesh, accel)
-        pad = Lp - cluster_lists.shape[0]
-        if pad:
-            cluster_lists = jnp.pad(
-                cluster_lists, ((0, pad), (0, 0), (0, 0)),
-                constant_values=accel.num_clusters,
-            )
 
     @partial(
         jax.shard_map,
         mesh=dmesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
-                  P(AXIS) if cluster_lists is not None else P()),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P()),
     )
-    def shard(m, dat, w, lit, nrm, k, a, acc, cl):
+    def shard(m, dat, w, lit, nrm, k, a):
         off = jax.lax.axis_index(AXIS) * Lc
-        rays = trace_chunk(m, lit, nrm, k, cfg, spt, source_offset=off,
-                           accel=acc, cluster_lists=cl)
+        rays = trace_chunk(m, lit, nrm, k, cfg, spt, source_offset=off)
         fine = forward_chunk(rays, nrm, cfg, spt, cfg.forward_refine,
                              alpha=a)
         transient = smooth_and_coarsen(fine, cfg.distance_resolution,
@@ -152,22 +140,18 @@ def _sharded_inverse(mesh: Mesh, data, weight, lighting, lighting_normal,
         g = jax.lax.psum(g, AXIS) / float(L)
         return transient, g
 
-    t, g = shard(mesh, data, weight, lighting, lighting_normal, key, alpha,
-                 accel, cluster_lists)
+    t, g = shard(mesh, data, weight, lighting, lighting_normal, key, alpha)
     return t[:L], g
 
 
 def sharded_inverse_render(mesh: Mesh, data, weight, lighting,
                            lighting_normal, cfg: RenderConfig, key,
                            dmesh: DeviceMesh, alpha=None,
-                           mode: str = "vertex", accel=None,
-                           cluster_lists=None):
+                           mode: str = "vertex"):
     """(transient [L,B] source-sharded, gradient replicated).
 
     mode: 'vertex' -> [V,3] vertex gradient; 'albedo'/'alpha' -> scalar.
-    Semantics identical to render.api.inverse_render* on one device.
-    accel/cluster_lists (render.prepare_visibility) enable the culled
-    visibility path; lists shard with the sources."""
+    Semantics identical to render.api.inverse_render* on one device."""
     spt = cfg.samples_per_face(int(mesh.f.shape[0]))
     a = jnp.float32(0.1) if alpha is None else alpha
     if mode == "alpha":
@@ -175,5 +159,4 @@ def sharded_inverse_render(mesh: Mesh, data, weight, lighting,
     return _sharded_inverse(mesh, jnp.asarray(data), jnp.asarray(weight),
                             jnp.asarray(lighting),
                             jnp.asarray(lighting_normal), key, a, cfg, spt,
-                            mode, dmesh, accel=accel,
-                            cluster_lists=cluster_lists)
+                            mode, dmesh)

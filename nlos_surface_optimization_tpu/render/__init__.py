@@ -1,8 +1,10 @@
 from .api import (  # noqa: F401
-    prepare_visibility,
     render_transient,
+    render_transient_host,
     render_intensity,
+    render_intensity_host,
     inverse_render,
+    inverse_render_host,
     inverse_render_albedo,
     inverse_render_alpha,
     render_transient_jitter,

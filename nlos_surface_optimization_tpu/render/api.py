@@ -49,13 +49,11 @@ def _spt(cfg: RenderConfig, mesh: Mesh) -> int:
     return cfg.samples_per_face(int(np.asarray(mesh.f_valid).sum()))
 
 
-def _use_fused(cfg: RenderConfig, mesh: Mesh, accel) -> bool:
+def _use_fused(cfg: RenderConfig, mesh: Mesh) -> bool:
     """Whether the forward path runs the fused occlusion+splat kernel
     (render/fused_kernels.py).  'auto' picks it on TPU for meshes that fit
     the VMEM-resident triangle soup; an explicit 'fused' is always
-    honored (interpret mode off-TPU); the culled accel path precludes it."""
-    if accel is not None:
-        return False
+    honored (interpret mode off-TPU)."""
     if cfg.occl_backend == "fused":
         return True
     if cfg.occl_backend == "auto":
@@ -67,14 +65,13 @@ def _use_fused(cfg: RenderConfig, mesh: Mesh, accel) -> bool:
 
 
 def _trace_and_forward(mesh: Mesh, lc, nc_, key, cfg: RenderConfig, spt: int,
-                       off, refine: int, alpha, accel, clist, fused: bool):
+                       off, refine: int, alpha, fused: bool):
     """(RayBatch, fine histogram) for one source chunk, via the fused
     kernel or the trace+splat pair — identical semantics."""
     if fused:
         return trace_forward_fused(mesh, lc, nc_, key, cfg, spt, refine,
                                    source_offset=off, alpha=alpha)
-    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off,
-                       accel=accel, cluster_lists=clist)
+    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
     return rays, forward_chunk(rays, nc_, cfg, spt, refine, alpha=alpha)
 
 
@@ -102,37 +99,16 @@ def _chunks(lighting, lighting_normal, cfg: RenderConfig):
     )
 
 
-def _accel_view(mesh: Mesh, accel, cluster_lists, L, Lc, nc):
-    """(permuted mesh, padded per-chunk list slicer) for the culled path."""
-    if accel is None:
-        return mesh, lambda off: None
-    from ..geometry.accel import permute_mesh
-
-    mesh = permute_mesh(mesh, accel)
-    C = accel.num_clusters
-    pad = nc * Lc - L
-    cl = jnp.pad(cluster_lists, ((0, pad), (0, 0), (0, 0)),
-                 constant_values=C) if pad else cluster_lists
-
-    def slicer(off):
-        return jax.lax.dynamic_slice_in_dim(cl, off, Lc, axis=0)
-
-    return mesh, slicer
-
-
 @partial(jax.jit, static_argnames=("cfg", "spt", "refine"))
 def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
-                           alpha, cfg: RenderConfig, spt: int, refine: int,
-                           accel=None, cluster_lists=None):
+                           alpha, cfg: RenderConfig, spt: int, refine: int):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
-    fused = _use_fused(cfg, mesh, accel)
-    mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
+    fused = _use_fused(cfg, mesh)
 
     def one(args):
         lc, nc_, off = args
         _, fine = _trace_and_forward(mesh, lc, nc_, key, cfg, spt, off,
-                                     refine, alpha, accel, clists(off),
-                                     fused)
+                                     refine, alpha, fused)
         return fine
 
     offsets = jnp.arange(nc) * Lc
@@ -143,40 +119,52 @@ def _render_transient_impl(mesh: Mesh, lighting, lighting_normal, key,
 
 
 def render_transient(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
-                     key, refine: Optional[int] = None, alpha=None,
-                     accel=None, cluster_lists=None):
+                     key, refine: Optional[int] = None, alpha=None):
     """Forward confocal transient [L, B] (+ pathlengths [B]).
 
     `refine` defaults to cfg.bin_refine_resolution like renderStreamedTransient;
     pass refine=1 for raw (unsmoothed) histograms as the reference's GT
-    generation does (main_create_gt.py uses refine=1, sigma=1).
-
-    accel/cluster_lists (from render.prepare_visibility) enable broad-phase
-    visibility culling."""
+    generation does (main_create_gt.py uses refine=1, sigma=1)."""
     spt = _spt(cfg, mesh)
     r = cfg.bin_refine_resolution if refine is None else refine
     a = jnp.float32(0.1) if alpha is None else alpha
     t = _render_transient_impl(mesh, lighting, lighting_normal, key, a, cfg,
-                               spt, r, accel=accel,
-                               cluster_lists=cluster_lists)
+                               spt, r)
     return t, pathlengths(cfg)
 
 
-def prepare_visibility(mesh: Mesh, lighting):
-    """(accel, cluster_lists) for the culled visibility path.
+@partial(jax.jit, static_argnames=("cfg", "spt", "refine"))
+def _forward_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha,
+                       cfg: RenderConfig, spt: int, refine: int):
+    fused = _use_fused(cfg, mesh)
+    _, fine = _trace_and_forward(mesh, lc, nc_, key, cfg, spt, off, refine,
+                                 alpha, fused)
+    return fine
 
-    Host-side: call once per mesh topology/geometry change (the outer loop
-    calls it after every remesh/update).  K is bucketed to a power of two
-    so jit caches stay warm across steps."""
-    import numpy as np
 
-    from ..geometry.accel import active_cluster_lists, build_accel, required_K
+def render_transient_host(mesh: Mesh, lighting, lighting_normal,
+                          cfg: RenderConfig, key,
+                          refine: Optional[int] = None, alpha=None):
+    """render_transient with the source-chunk loop on the HOST: one short
+    XLA program per chunk instead of one program spanning the scan.
 
-    accel = build_accel(np.asarray(mesh.v), np.asarray(mesh.f),
-                        np.asarray(mesh.f_valid))
-    K = required_K(accel, np.asarray(lighting))
-    lists, _ = active_cluster_lists(accel, jnp.asarray(lighting), K)
-    return accel, lists
+    Numerically identical to render_transient (same chunking, offsets,
+    keys).  REQUIRED for long renders through serving tunnels that bound
+    per-program device time (e.g. GT generation at the reference's
+    1024^2-scan/1e8-sample scale, main_create_gt.py:52-56): each chunk
+    program runs well under the bound and the compile is reused across
+    every chunk, shard, and process (persistent compilation cache)."""
+    spt = _spt(cfg, mesh)
+    r = cfg.bin_refine_resolution if refine is None else refine
+    a = jnp.float32(0.1) if alpha is None else alpha
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    parts = [
+        _forward_one_chunk(mesh, lit[i], nrm[i], i * Lc, key, a, cfg, spt, r)
+        for i in range(nc)
+    ]
+    fine = jnp.concatenate(parts, axis=0)[:L]
+    t = smooth_and_coarsen(fine, cfg.distance_resolution, r, cfg.sigma_bin)
+    return t, pathlengths(cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spt"))
@@ -192,6 +180,26 @@ def _render_intensity_impl(mesh: Mesh, lighting, lighting_normal, key,
     offsets = jnp.arange(nc) * Lc
     per_chunk = jax.lax.map(one, (lit, nrm, offsets))  # [nc, F]
     return per_chunk.sum(axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spt"))
+def _intensity_one_chunk(mesh: Mesh, lc, nc_, off, key, cfg: RenderConfig,
+                         spt: int):
+    rays = trace_chunk(mesh, lc, nc_, key, cfg, spt, source_offset=off)
+    return intensity_chunk(rays, nc_, cfg, spt)
+
+
+def render_intensity_host(mesh: Mesh, lighting, lighting_normal,
+                          cfg: RenderConfig, key):
+    """render_intensity with host-side chunk dispatch (same rationale as
+    render_transient_host / inverse_render_host)."""
+    spt = _spt(cfg, mesh)
+    lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
+    out = _intensity_one_chunk(mesh, lit[0], nrm[0], 0, key, cfg, spt)
+    for i in range(1, nc):
+        out = out + _intensity_one_chunk(mesh, lit[i], nrm[i], i * Lc, key,
+                                         cfg, spt)
+    return out
 
 
 def render_intensity(mesh: Mesh, lighting, lighting_normal, cfg: RenderConfig,
@@ -221,7 +229,7 @@ def _pad_rows(x, pad):
 
 def _fused_chunk_body(mesh: Mesh, lc, nc_, off, key, dat, w,
                       cfg: RenderConfig, spt: int, mode: str, alpha,
-                      accel, clist, fused: bool):
+                      fused: bool):
     """(transient rows, gradient) for one source chunk.
 
     The difference weight*(data - T_smooth) is ROW-LOCAL per source
@@ -233,12 +241,25 @@ def _fused_chunk_body(mesh: Mesh, lc, nc_, off, key, dat, w,
     :843-1007 backward re-trace)."""
     refine = cfg.forward_refine
     rays, fine = _trace_and_forward(mesh, lc, nc_, key, cfg, spt, off,
-                                    refine, alpha, accel, clist, fused)
+                                    refine, alpha, fused)
     transient = smooth_and_coarsen(fine, cfg.distance_resolution, refine,
                                    cfg.sigma_bin)
     diff = _difference(dat, transient, w, cfg)
     if mode == "vertex":
-        g = backward_chunk(rays, mesh, nc_, diff, 0, cfg, spt, alpha=alpha)
+        from .bwd_kernels import RB, backward_chunk_fused
+        use_fused_bwd = (
+            cfg.brdf == "lambertian" and spt <= RB
+            and (cfg.bwd_backend == "fused"
+                 or (cfg.bwd_backend == "auto"
+                     and jax.default_backend() == "tpu"))
+        )
+        if use_fused_bwd:
+            g = backward_chunk_fused(
+                rays, mesh, nc_, diff, 0, cfg, spt,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            g = backward_chunk(rays, mesh, nc_, diff, 0, cfg, spt,
+                               alpha=alpha)
     elif mode == "albedo":
         g = backward_albedo_chunk(rays, nc_, diff, 0, cfg, spt)
     elif mode == "alpha":
@@ -250,11 +271,9 @@ def _fused_chunk_body(mesh: Mesh, lc, nc_, off, key, dat, w,
 
 @partial(jax.jit, static_argnames=("cfg", "spt", "mode"))
 def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
-                  alpha, cfg: RenderConfig, spt: int, mode: str,
-                  accel=None, cluster_lists=None):
+                  alpha, cfg: RenderConfig, spt: int, mode: str):
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
-    fused = _use_fused(cfg, mesh, accel)
-    mesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
+    fused = _use_fused(cfg, mesh)
     pad = nc * Lc - L
     # Padded rows carry zero weight => zero difference => zero gradient.
     data_p = _pad_rows(jnp.asarray(data), pad).reshape(nc, Lc, cfg.num_bins)
@@ -264,7 +283,7 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
     def one(args):
         lc, nc_, off, dat, w = args
         return _fused_chunk_body(mesh, lc, nc_, off, key, dat, w, cfg, spt,
-                                 mode, alpha, accel, clists(off), fused)
+                                 mode, alpha, fused)
 
     offsets = jnp.arange(nc) * Lc
     t, per_chunk = jax.lax.map(one, (lit, nrm, offsets, data_p, weight_p))
@@ -273,20 +292,16 @@ def _inverse_impl(mesh: Mesh, data, weight, lighting, lighting_normal, key,
     return transient, grad
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "spt", "mode", "use_accel", "fused"))
+@partial(jax.jit, static_argnames=("cfg", "spt", "mode", "fused"))
 def _fused_one_chunk(mesh: Mesh, lc, nc_, off, key, alpha, dat, w,
                      cfg: RenderConfig, spt: int, mode: str,
-                     use_accel: bool = False, accel=None, clist=None,
                      fused: bool = False):
     return _fused_chunk_body(mesh, lc, nc_, off, key, dat, w, cfg, spt,
-                             mode, alpha, accel if use_accel else None,
-                             clist, fused)
+                             mode, alpha, fused)
 
 
 def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
-                       key, alpha, cfg: RenderConfig, spt: int, mode: str,
-                       accel=None, cluster_lists=None):
+                       key, alpha, cfg: RenderConfig, spt: int, mode: str):
     """_inverse_impl with the source-chunk loop on the HOST: one short XLA
     program per chunk instead of one program spanning the whole scan.
 
@@ -296,18 +311,15 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
     per-program wall time), or to overlap dispatch with host work — the
     chunks dispatch asynchronously and only the final fetch synchronizes."""
     lit, nrm, L, Lc, nc = _chunks(lighting, lighting_normal, cfg)
-    fused = _use_fused(cfg, mesh, accel)
-    pmesh, clists = _accel_view(mesh, accel, cluster_lists, L, Lc, nc)
-    use_accel = accel is not None
+    fused = _use_fused(cfg, mesh)
     pad = nc * Lc - L
     data_p = _pad_rows(jnp.asarray(data), pad).reshape(nc, Lc, cfg.num_bins)
     weight_p = _pad_rows(jnp.asarray(weight), pad).reshape(nc, Lc,
                                                            cfg.num_bins)
 
     parts = [
-        _fused_one_chunk(pmesh, lit[i], nrm[i], i * Lc, key, alpha,
-                         data_p[i], weight_p[i], cfg, spt, mode, use_accel,
-                         accel, clists(i * Lc), fused)
+        _fused_one_chunk(mesh, lit[i], nrm[i], i * Lc, key, alpha,
+                         data_p[i], weight_p[i], cfg, spt, mode, fused)
         for i in range(nc)
     ]
     transient = jnp.concatenate([t for t, _ in parts], axis=0)[:L]
@@ -318,8 +330,7 @@ def _inverse_impl_host(mesh: Mesh, data, weight, lighting, lighting_normal,
 
 
 def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
-                   cfg: RenderConfig, key, alpha=None, accel=None,
-                   cluster_lists=None):
+                   cfg: RenderConfig, key, alpha=None):
     """(transient [L,B], vertex gradient [V,3], pathlengths [B]).
 
     Parity with rendering.inverseRendering (rendering.py:252-269): the
@@ -328,14 +339,25 @@ def inverse_render(mesh: Mesh, data, weight, lighting, lighting_normal,
     spt = _spt(cfg, mesh)
     a = jnp.float32(0.1) if alpha is None else alpha
     t, g = _inverse_impl(mesh, data, weight, lighting, lighting_normal, key,
-                         a, cfg, spt, "vertex", accel=accel,
-                         cluster_lists=cluster_lists)
+                         a, cfg, spt, "vertex")
+    return t, g, pathlengths(cfg)
+
+
+def inverse_render_host(mesh: Mesh, data, weight, lighting,
+                        lighting_normal, cfg: RenderConfig, key, alpha=None):
+    """inverse_render with the source-chunk loop on the host (one short
+    XLA program per chunk; numerically identical — see _inverse_impl_host).
+    The production path for long scans through serving tunnels that bound
+    per-program device time; also overlaps dispatch with host work."""
+    spt = _spt(cfg, mesh)
+    a = jnp.float32(0.1) if alpha is None else alpha
+    t, g = _inverse_impl_host(mesh, data, weight, lighting, lighting_normal,
+                              key, a, cfg, spt, "vertex")
     return t, g, pathlengths(cfg)
 
 
 def inverse_shading_render(mesh: Mesh, data, weight, lighting,
-                           lighting_normal, cfg: RenderConfig, key,
-                           accel=None, cluster_lists=None):
+                           lighting_normal, cfg: RenderConfig, key):
     """(transient, vertex gradient, pathlengths) with freshly recomputed
     interpolated vertex normals — inverseShadingRendering
     (rendering.py:219-229: per_vertex_normal then
@@ -345,8 +367,7 @@ def inverse_shading_render(mesh: Mesh, data, weight, lighting,
     vn = vertex_normals(mesh.v, mesh.f, mesh.f_valid)
     mesh = mesh._replace(vn=vn)
     return inverse_render(mesh, data, weight, lighting, lighting_normal,
-                          cfg.replace(normal="vn"), key, accel=accel,
-                          cluster_lists=cluster_lists)
+                          cfg.replace(normal="vn"), key)
 
 
 def inverse_render_albedo(mesh: Mesh, data, weight, lighting, lighting_normal,

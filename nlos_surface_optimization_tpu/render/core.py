@@ -149,17 +149,11 @@ def _occl_skip_mask(dirs, normal, face_n, lighting_normal, pre_valid):
 
 
 def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
-                spt: int, source_offset=0, occl_ray_chunk: int = 16384,
-                accel=None, cluster_lists=None) -> RayBatch:
+                spt: int, source_offset=0, occl_ray_chunk: int = 16384
+                ) -> RayBatch:
     """Sample points on every face from every source in the chunk and run the
     visibility query.  Mirrors streamedRayTraceTriangle's setup
     (transient_and_gradient.cpp:178-215).
-
-    With `accel` (geometry.accel.VisibilityAccel) the mesh's face axis must
-    already be in Morton cluster order (accel.permute_mesh) and
-    `cluster_lists` [Lc, C, K] supplies each (source, target-cluster)'s
-    active occluder clusters; the visibility query then runs the culled
-    narrow phase instead of brute force.
 
     The RayBatch is traced ONCE per chunk and shared by the forward splat
     and the analytic backward (render.api._fused_chunk_body) — the
@@ -183,31 +177,7 @@ def trace_chunk(mesh: Mesh, lighting, lighting_normal, key, cfg: RenderConfig,
     if backend in ("auto", "fused"):
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    if accel is not None:
-        from ..geometry.accel import (
-            CLUSTER_SIZE,
-            cluster_triangle_soup,
-            segment_occluded_culled,
-        )
-
-        C = accel.num_clusters
-        S = CLUSTER_SIZE * spt
-        soup = cluster_triangle_soup(mesh.v, mesh.f, mesh.f_valid, C)
-        G = Lc * C
-        slot = jnp.broadcast_to(
-            jnp.arange(F, dtype=jnp.int32)[None, :, None], (Lc, F, spt)
-        )
-        occ = segment_occluded_culled(
-            o_flat.reshape(G, S, 3),
-            d_flat.reshape(G, S, 3),
-            t_flat.reshape(G, S),
-            slot.reshape(G, S),
-            soup,
-            cluster_lists.reshape(G, -1),
-            C, t_rel=cfg.occl_t_rel, t_min=cfg.occl_t_min,
-            narrow=cfg.mt_narrow,
-        ).reshape(Lc, F, spt)
-    elif backend == "pallas":
+    if backend == "pallas":
         from .pallas_kernels import segment_occluded_pallas
 
         occ = segment_occluded_pallas(

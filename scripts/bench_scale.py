@@ -55,18 +55,12 @@ def bench_one(mesh, vis, key):
     cfg = nst.RenderConfig(
         num_samples=20000, num_bins=1200, distance_resolution=1.2e-3,
         sigma_bin=1, bin_refine_resolution=10, source_chunk=chunk,
-        occl_backend=vis if vis != "culled" else "jnp",
+        occl_backend=vis,
     )
     lighting, lnormal = nst.make_confocal_scan(RES, (-0.25, -0.25),
                                                (0.25, 0.25))
     L = lighting.shape[0]
     spt = cfg.samples_per_face(F)
-    accel = lists = None
-    if vis == "culled":
-        from nlos_surface_optimization_tpu.render import prepare_visibility
-
-        accel, lists = prepare_visibility(mesh, lighting)
-
     B = cfg.num_bins
     data = jnp.zeros((L, B), jnp.float32)
     weight = jnp.ones((L, B), jnp.float32)
@@ -75,8 +69,7 @@ def bench_one(mesh, vis, key):
 
     def one_iter(k):
         t, g = _inverse_impl_host(mesh, data, weight, lj, nj, k,
-                                  jnp.float32(0.1), cfg, spt, "vertex",
-                                  accel=accel, cluster_lists=lists)
+                                  jnp.float32(0.1), cfg, spt, "vertex")
         return jnp.sum(t) + jnp.sum(g)
 
     float(one_iter(jax.random.fold_in(key, 999)))   # compile + warm
@@ -95,8 +88,8 @@ def main():
     key = jax.random.key(0)
     grids = {3042: 40, 31250: 126, 99458: 224, 250000: 355}
     plans = {
-        3042: ["jnp", "fused", "pallas", "culled"],
-        31250: ["fused", "pallas", "culled"],
+        3042: ["jnp", "fused", "pallas", ],
+        31250: ["fused", "pallas", ],
         99458: ["pallas"],
         250000: ["pallas"],
     }

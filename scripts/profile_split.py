@@ -18,7 +18,7 @@ import numpy as np
 
 import nlos_surface_optimization_tpu as nst
 from nlos_surface_optimization_tpu.render.api import (
-    _inverse_impl, _render_transient_impl, _chunks, _accel_view)
+    _inverse_impl, _render_transient_impl, _chunks)
 from nlos_surface_optimization_tpu.render.core import trace_chunk
 from bench import build_scene
 
@@ -38,12 +38,6 @@ L = lighting.shape[0]
 spt = cfg.samples_per_face(F)
 key = jax.random.key(0)
 
-accel = cluster_lists = None
-if VIS == "culled":
-    from nlos_surface_optimization_tpu.render import prepare_visibility
-    accel, cluster_lists = prepare_visibility(mesh, lighting)
-    print("K =", cluster_lists.shape[-1], "C =", accel.num_clusters)
-
 B = cfg.num_bins
 data = jnp.zeros((L, B), jnp.float32)
 weight = jnp.ones((L, B), jnp.float32)
@@ -55,12 +49,10 @@ alpha = jnp.float32(0.1)
 @jax.jit
 def trace_only(k):
     lit, nrm, L_, Lc, nch = _chunks(lighting, lnormal, cfg)
-    m, clists = _accel_view(mesh, accel, cluster_lists, L_, Lc, nch)
 
     def one(args):
         lc, nc_, off = args
-        rays = trace_chunk(m, lc, nc_, k, cfg, spt, source_offset=off,
-                           accel=accel, cluster_lists=clists(off))
+        rays = trace_chunk(mesh, lc, nc_, k, cfg, spt, source_offset=off)
         return jnp.sum(rays.valid.astype(jnp.float32))
 
     offsets = jnp.arange(nch) * (L_ // nch if nch else 1)
@@ -70,16 +62,14 @@ def trace_only(k):
 @jax.jit
 def fwd_only(k):
     t = _render_transient_impl(mesh, lighting, lnormal, k, alpha, cfg, spt,
-                               cfg.forward_refine, accel=accel,
-                               cluster_lists=cluster_lists)
+                               cfg.forward_refine)
     return jnp.sum(t)
 
 
 @jax.jit
 def full(k):
     t, g = _inverse_impl(mesh, data, weight, lighting, lnormal, k, alpha,
-                         cfg, spt, "vertex", accel=accel,
-                         cluster_lists=cluster_lists)
+                         cfg, spt, "vertex")
     return jnp.sum(t) + jnp.sum(g)
 
 

@@ -6,14 +6,11 @@ import jax.numpy as jnp
 import numpy as np
 
 import nlos_surface_optimization_tpu as nst
-from nlos_surface_optimization_tpu.geometry.accel import permute_mesh
 from nlos_surface_optimization_tpu.geometry.intersect import (
     segment_occluded,
     segment_occluded_mxu,
 )
 from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
-from nlos_surface_optimization_tpu.render import prepare_visibility
-from nlos_surface_optimization_tpu.render.core import trace_chunk
 from test_accel import _layered_mesh
 
 KEY = jax.random.key(23)
@@ -26,25 +23,6 @@ def _scene():
     cfg = nst.RenderConfig(num_samples=800, num_bins=600,
                            distance_resolution=4e-3)
     return mesh, cfg, lighting, lnormal, f
-
-
-def test_culled_mxu_matches_vpu_and_bruteforce():
-    mesh, cfg, lighting, lnormal, f = _scene()
-    accel, lists = prepare_visibility(mesh, lighting)
-    pmesh = permute_mesh(mesh, accel)
-    spt = cfg.samples_per_face(f.shape[0])
-    r_bf = trace_chunk(pmesh, jnp.asarray(lighting), jnp.asarray(lnormal),
-                       KEY, cfg, spt)
-    r_vpu = trace_chunk(pmesh, jnp.asarray(lighting), jnp.asarray(lnormal),
-                        KEY, cfg.replace(mt_narrow="vpu"), spt, accel=accel,
-                        cluster_lists=lists)
-    r_mxu = trace_chunk(pmesh, jnp.asarray(lighting), jnp.asarray(lnormal),
-                        KEY, cfg.replace(mt_narrow="mxu"), spt, accel=accel,
-                        cluster_lists=lists)
-    bf = np.asarray(r_bf.valid)
-    np.testing.assert_array_equal(np.asarray(r_vpu.valid), bf)
-    mm = (np.asarray(r_mxu.valid) != bf).mean()
-    assert mm < 1e-3, mm  # knife-edge-only differences (0 in f64 on CPU)
 
 
 def test_bruteforce_mxu_matches_reference():

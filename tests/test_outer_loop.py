@@ -100,25 +100,6 @@ def test_outer_loop_descends_and_remeshes():
     assert hist["v2"][-1] <= hist["v2"][0] * 1.2
 
 
-def test_outer_loop_with_visibility_accel():
-    """Culled-visibility outer loop: same machinery, finite descent."""
-    v_gt, f_gt = _grid_mesh(7, lambda x, y: 0.5 + 0.03 * np.sin(5 * x))
-    cfg = nst.RenderConfig(num_samples=1500, num_bins=200,
-                           distance_resolution=6e-3)
-    lighting, lnormal = nst.make_confocal_scan(7)
-    gt, _ = render_transient(make_mesh(v_gt, f_gt), lighting, lnormal, cfg,
-                             KEY, refine=1)
-    v0, f0 = _grid_mesh(7, lambda x, y: np.full_like(x, 0.5))
-    loop_cfg = LoopConfig(lr0=2e-3, T=6, smooth_ratio=100.0,
-                          loss_epsilon=1e-8, scan_resolution=7,
-                          use_visibility_accel=True)
-    loop = InverseRenderingLoop(np.array(gt), lighting, lnormal, cfg,
-                                loop_cfg, v0, f0, KEY, log=lambda s: None)
-    state, hist = loop.run(max_iters=6)
-    assert np.isfinite(state.v).all()
-    assert hist["l2_original"][-1] < hist["l2_original"][0]
-
-
 def test_outer_loop_plateau_switches_phase():
     """With loss_epsilon = 1 every step is a 'plateau': after 3 runs the
     machine must switch to shading mode then coarse-to-fine."""

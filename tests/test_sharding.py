@@ -79,27 +79,6 @@ def test_shard_invariance_nondivisible(bumpy_mesh):
                                atol=1e-14)
 
 
-def test_culled_shard_invariance(bumpy_mesh):
-    """Sharded + culled-visibility path matches the single-device culled
-    path bit-for-bit."""
-    from nlos_surface_optimization_tpu.render import prepare_visibility
-
-    mesh, cfg, lighting, lnormal = _scene(bumpy_mesh)
-    accel, lists = prepare_visibility(mesh, lighting)
-    t_ref, g_ref, _ = inverse_render(
-        mesh, np.zeros((lighting.shape[0], cfg.num_bins)),
-        np.ones((lighting.shape[0], cfg.num_bins)), lighting, lnormal, cfg,
-        KEY, accel=accel, cluster_lists=lists)
-    dmesh = make_source_mesh(jax.devices())
-    t_sh, g_sh = sharded_inverse_render(
-        mesh, np.zeros((lighting.shape[0], cfg.num_bins)),
-        np.ones((lighting.shape[0], cfg.num_bins)), lighting, lnormal, cfg,
-        KEY, dmesh, accel=accel, cluster_lists=lists)
-    np.testing.assert_array_equal(np.array(t_ref), np.array(t_sh))
-    np.testing.assert_allclose(np.array(g_sh), np.array(g_ref), rtol=1e-10,
-                               atol=1e-14)
-
-
 @pytest.mark.parametrize("mode", ["albedo", "alpha"])
 def test_scalar_gradient_shard_invariance(bumpy_mesh, mode):
     cfgkw = dict(num_samples=400, num_bins=300, distance_resolution=5e-3)
