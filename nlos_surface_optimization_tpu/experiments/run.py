@@ -53,12 +53,17 @@ def _find_capture(spec: SceneSpec, workdir: str,
     """Locate a real scene's measured transient.mat: explicit path, then
     workdir, then $NLOS_DATA_DIR/<scene>/ (the reference keeps them at
     exp_s/transient.mat etc., exp_s/test.py:64)."""
-    cands = [transient_path,
-             os.path.join(workdir, spec.transient_file or "transient.mat")]
+    fname = spec.transient_file or "transient.mat"
+    cands = [transient_path, os.path.join(workdir, fname)]
     data_dir = os.environ.get("NLOS_DATA_DIR")
     if data_dir:
-        cands.append(os.path.join(data_dir, spec.name,
-                                  spec.transient_file or "transient.mat"))
+        # both flat (<dir>/<scene>/) and the reference checkout layout
+        # (<dir>/exp_<scene>/transient.mat, exp_s/test.py:64)
+        cands.append(os.path.join(data_dir, spec.name, fname))
+        cands.append(os.path.join(data_dir, "exp_" + spec.name, fname))
+        cands.append(os.path.join(
+            data_dir, "transient_rendering_cython", "exp_" + spec.name,
+            fname))
     for p in cands:
         if p and os.path.exists(p):
             return p
@@ -109,12 +114,21 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
         source_chunk=min(256, res * res),
     )
 
-    log("LCT initialization from measured data")
-    width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
-    lct = lct_reconstruct(gt, width=width,
-                          bin_resolution_m=spec.distance_resolution)
-    thr = float(np.asarray(lct.albedo).max()) * 0.25
-    v0, f0 = init_mesh_from_lct(lct, threshold=thr)
+    # Init mesh: the reference ships a thresholded-CNLOS init per real
+    # scene (exp_s/test.py:73-76, cnlos_s_threshold.obj); use it when it
+    # sits next to the capture, else run our LCT init from the data.
+    init_obj = os.path.join(os.path.dirname(path),
+                            f"cnlos_{spec.name}_threshold.obj")
+    if os.path.exists(init_obj):
+        log(f"init mesh from {init_obj}")
+        v0, f0 = read_obj(init_obj)
+    else:
+        log("LCT initialization from measured data")
+        width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
+        lct = lct_reconstruct(gt, width=width,
+                              bin_resolution_m=spec.distance_resolution)
+        thr = float(np.asarray(lct.albedo).max()) * 0.25
+        v0, f0 = init_mesh_from_lct(lct, threshold=thr)
     log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
 
     loop_cfg = LoopConfig(

@@ -406,24 +406,16 @@ def _gradient_terms(rays: RayBatch, lighting_normal, cfg: RenderConfig, alpha):
     return t1, t2, intensity, ff2
 
 
-def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig,
-                    weights, deltas):
-    """Gather diff over the K kernel taps and reduce.
-
-    Returns (A, Bw): A = sum_i w_i*d_i, Bw = sum_i w_i*delta_i*d_i, each with
-    ray shape.  difference is the full [L, B] array; sources in this chunk
-    start at source_offset.
+def _tap_tables(difference, source_offset, Lc, cfg: RenderConfig, dtype):
+    """Per-fine-bin tap-reduction tables (A_tab, Bw_tab), each [Lc, Bf+1].
 
     The K (= 4*refine*sigma_bin+1) taps land on only G = 4*sigma_bin+2
     consecutive COARSE bins with phase-grouped weights
     (kernels.grouped_gaussian_tables), and the whole reduction depends on
     the ray ONLY through its fine bin q — so the reference's per-tap
     gather loop (transient_and_gradient.cpp:972-1001) collapses to a
-    per-fine-bin TABLE built with static-index ops over [Lc, Bf+1]
-    (no per-ray work at all) followed by ONE gather per ray per output.
-    Bit-identical to the per-ray formulation (same fma order per entry).
-    """
-    Lc = rays.h.shape[0]
+    per-fine-bin TABLE built with static-index ops (no per-ray work), and
+    the per-ray part is ONE lookup per output."""
     B = cfg.num_bins
     res = cfg.distance_resolution
     refine = cfg.bin_refine_resolution
@@ -431,16 +423,13 @@ def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig
 
     W, WD = grouped_gaussian_tables(res, refine, sigma_bin)
     G = W.shape[1]
-    fine_res = res / refine
     rsig = 2 * refine * sigma_bin
     Bf = B * refine
-    dtype = rays.h.dtype
 
-    # this chunk's difference rows
     diff_c = jax.lax.dynamic_slice_in_dim(
         difference, source_offset, Lc, axis=0).astype(dtype)
 
-    # per-fine-bin tables over q in [0, Bf] (q == Bf at 2h == bin_upper)
+    # tables over q in [0, Bf] (q == Bf at 2h == bin_upper)
     qs_tab = np.arange(Bf + 1) - rsig
     p_tab = qs_tab % refine
     b0_tab = qs_tab // refine
@@ -453,6 +442,26 @@ def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig
         d = jnp.where(jnp.asarray(ok)[None, :], diff_c[:, idx], 0.0)
         A_tab = A_tab + jnp.asarray(W[p_tab, j], dtype)[None, :] * d
         Bw_tab = Bw_tab + jnp.asarray(WD[p_tab, j], dtype)[None, :] * d
+    return A_tab, Bw_tab
+
+
+def _tap_reductions(rays: RayBatch, difference, source_offset, cfg: RenderConfig,
+                    weights, deltas):
+    """Gather diff over the K kernel taps and reduce.
+
+    Returns (A, Bw): A = sum_i w_i*d_i, Bw = sum_i w_i*delta_i*d_i, each with
+    ray shape.  difference is the full [L, B] array; sources in this chunk
+    start at source_offset.  Tables from _tap_tables; bit-identical to the
+    per-ray formulation (same fma order per entry)."""
+    Lc = rays.h.shape[0]
+    B = cfg.num_bins
+    res = cfg.distance_resolution
+    refine = cfg.bin_refine_resolution
+    fine_res = res / refine
+    Bf = B * refine
+    dtype = rays.h.dtype
+
+    A_tab, Bw_tab = _tap_tables(difference, source_offset, Lc, cfg, dtype)
 
     q = jnp.floor((2.0 * rays.h - cfg.bin_lower) / fine_res).astype(jnp.int32)
     # out-of-table rays read a clipped entry; every consumer masks them

@@ -11,6 +11,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 import scipy.io
 
 import nlos_surface_optimization_tpu as nst
@@ -141,3 +142,78 @@ def test_run_real_scene_end_to_end(tmp_path):
     assert all(np.isfinite(history["l2"]))
     assert np.isnan(history["v2"]).all()          # no GT mesh for real data
     assert os.path.exists(os.path.join(workdir, "progress", "00000.mat"))
+
+
+# ---------------------------------------------------------------------------
+# Gated tests against the reference's ACTUAL measured captures
+# (exp_s/transient.mat etc., shipped in the reference checkout).
+
+import os as _os
+
+_REF_DATA = next(
+    (d for d in [_os.environ.get("NLOS_DATA_DIR") or "",
+                 "/root/reference"]
+     if d and _os.path.exists(_os.path.join(
+         d, "transient_rendering_cython", "exp_s", "transient.mat"))),
+    None)
+
+
+@pytest.mark.skipif(_REF_DATA is None,
+                    reason="reference measured captures not available")
+@pytest.mark.parametrize("scene", ["s", "su", "mannequin"])
+def test_load_reference_capture(scene):
+    """The measured SPAD captures load through load_real_capture with the
+    documented layout (64x64 scan, B=2048, direct bounce zeroed)."""
+    from nlos_surface_optimization_tpu.io.mat import load_real_capture
+    p = _os.path.join(_REF_DATA, "transient_rendering_cython",
+                      f"exp_{scene}", "transient.mat")
+    t, lighting, n = load_real_capture(p)
+    assert n == 64 and t.shape == (4096, 2048)
+    assert (t[:, :600] == 0).all()          # exp_s/test.py:66-67
+    assert t.max() > 0
+    assert lighting is not None and lighting.shape == (4096, 3)
+    # the scan plane is the z=0 wall, x/y within ~[-0.4, 0.4]
+    assert np.abs(lighting[:, 2]).max() < 0.1
+    assert np.abs(lighting[:, :2]).max() < 0.6
+
+
+@pytest.mark.skipif(_REF_DATA is None,
+                    reason="reference measured captures not available")
+def test_find_capture_reference_layout(tmp_path):
+    """_find_capture resolves the reference checkout layout via
+    NLOS_DATA_DIR."""
+    from nlos_surface_optimization_tpu.experiments.run import _find_capture
+    from nlos_surface_optimization_tpu.experiments.scenes import SCENES
+    old = _os.environ.get("NLOS_DATA_DIR")
+    _os.environ["NLOS_DATA_DIR"] = _REF_DATA
+    try:
+        p = _find_capture(SCENES["s"], str(tmp_path), None)
+        assert p.endswith("exp_s/transient.mat")
+    finally:
+        if old is None:
+            _os.environ.pop("NLOS_DATA_DIR", None)
+        else:
+            _os.environ["NLOS_DATA_DIR"] = old
+
+
+@pytest.mark.skipif(_REF_DATA is None,
+                    reason="reference measured captures not available")
+def test_real_capture_two_iterations(tmp_path):
+    """run_experiment('s') on the ACTUAL measured data, downsampled scan
+    for CPU: loads the capture + the reference's threshold init obj, runs
+    2 iterations, descends without NaN."""
+    from nlos_surface_optimization_tpu.experiments.run import run_experiment
+    old = _os.environ.get("NLOS_DATA_DIR")
+    _os.environ["NLOS_DATA_DIR"] = _REF_DATA
+    try:
+        state, hist = run_experiment(
+            "s", str(tmp_path), max_iters=2, scan_resolution=8,
+            sample_num=1200, log=lambda s: None)
+    finally:
+        if old is None:
+            _os.environ.pop("NLOS_DATA_DIR", None)
+        else:
+            _os.environ["NLOS_DATA_DIR"] = old
+    assert len(hist["l2"]) == 2
+    assert np.isfinite(hist["l2"]).all()
+    assert np.isfinite(state.v).all()
