@@ -42,10 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 RB = 128       # maximum spt the kernel supports (one face per >=1 lane)
 W = 512        # ray lanes per window
+LS = 32        # sources per grid slab (bounds VMEM: rows 1 MB + tables
+#                ~3 MB per slab; Lc=256 whole-chunk blocks OOM'd the 16 MB
+#                scoped VMEM limit)
 
 
-def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Lc, fpw_pad, PB,
+def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Ls, fpw_pad, PB,
                 bin_lower, fine_res, Bf, use_gn):
+    sl = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (W, fpw_pad), 0)
     colf = jax.lax.broadcasted_iota(jnp.int32, (W, fpw_pad), 1)
     M = (lane // spt == colf).astype(jnp.float32)  # [W, fpw_pad] face onehot
@@ -54,7 +58,7 @@ def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Lc, fpw_pad, PB,
     sub = jax.lax.broadcasted_iota(jnp.int32, (128, W), 0)
 
     def body(l, acc):
-        rows = rows_ref[0, l]                       # [16, W]
+        rows = rows_ref[0, 0, l]                    # [16, W]
 
         def row(r):
             return rows[r:r + 1, :]                 # [1, W]
@@ -147,8 +151,12 @@ def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Lc, fpw_pad, PB,
             precision=jax.lax.Precision.HIGHEST,
         )                                           # [16, fpw_pad]
 
+    @pl.when(sl == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
     acc0 = jnp.zeros((16, fpw_pad), jnp.float32)
-    out_ref[0] = jax.lax.fori_loop(0, Lc, body, acc0)
+    out_ref[0] += jax.lax.fori_loop(0, Ls, body, acc0)
 
 
 @functools.partial(
@@ -174,22 +182,34 @@ def backward_face_sums_pallas(tables, rows, spt: int, use_gn: bool,
     PB = tables.shape[3]
     fpw = W // spt
     fpw_pad = -(-fpw // 128) * 128
+    Ls = min(LS, Lc)
+    nsl = -(-Lc // Ls)
+    pad_l = nsl * Ls - Lc
+    if pad_l:  # zero rows contribute zero (albedo_w row is 0)
+        rows = jnp.pad(rows, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
+        tables = jnp.pad(tables, ((0, pad_l), (0, 0), (0, 0), (0, 0)))
+    rows = rows.reshape(nfw, nsl, Ls, 16, W)
+    tables = tables.reshape(nsl, Ls, 2, 128, PB)
+    # grid (bw, slab): the output face tile stays VMEM-resident while the
+    # source slabs accumulate into it (first-visit zeroing at slab 0)
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, spt=spt, Lc=Lc, fpw_pad=fpw_pad,
+        functools.partial(_bwd_kernel, spt=spt, Ls=Ls, fpw_pad=fpw_pad,
                           PB=PB, bin_lower=bin_lower, fine_res=fine_res,
                           Bf=Bf, use_gn=use_gn),
-        grid=(nfw,),
+        grid=(nfw, nsl),
         in_specs=[
-            pl.BlockSpec((1, Lc, 2, 128, PB), lambda bw: (0, 0, 0, 0, 0),
+            pl.BlockSpec((1, Ls, 2, 128, PB),
+                         lambda bw, sl: (sl, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lc, 16, W), lambda bw: (bw, 0, 0, 0),
+            pl.BlockSpec((1, 1, Ls, 16, W),
+                         lambda bw, sl: (bw, sl, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 16, fpw_pad), lambda bw: (bw, 0, 0),
+        out_specs=pl.BlockSpec((1, 16, fpw_pad), lambda bw, sl: (bw, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nfw, 16, fpw_pad), jnp.float32),
         interpret=interpret,
-    )(tables[None], rows)
+    )(tables, rows)
     return out
 
 

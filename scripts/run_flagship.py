@@ -40,23 +40,15 @@ def main():
         print(s, flush=True)
 
     t0 = time.time()
-    # The serving tunnel occasionally restarts the TPU worker mid-run;
-    # per-iteration checkpoints + run_experiment(resume=True) make the run
-    # continue from the last completed iteration instead of dying.
-    attempts = 0
-    while True:
-        try:
-            state, hist = run_experiment(
-                "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=64,
-                resume=attempts > 0, log=log,
-            )
-            break
-        except jax.errors.JaxRuntimeError as e:
-            attempts += 1
-            if attempts > 4:
-                raise
-            log(f"TPU runtime error ({e}); retry {attempts} with resume")
-            time.sleep(30)
+    # The serving tunnel occasionally restarts the TPU worker mid-run,
+    # which poisons the in-process PJRT client for good — so retries must
+    # come from a FRESH process (wrap this script in a shell retry loop).
+    # resume=True makes any attempt continue from the last completed
+    # iteration via the per-iteration checkpoints; GT shards are reused.
+    state, hist = run_experiment(
+        "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=64,
+        resume=True, log=log,
+    )
     wall = time.time() - t0
 
     outdir = os.path.join(ROOT, "RESULTS")
