@@ -218,8 +218,19 @@ class InverseRenderingLoop:
 
     def _current_cfg(self) -> RenderConfig:
         s = self.state
+        # memory knob: the tracer materializes [Lc, F, spt]-sized ray
+        # tensors; cap the per-chunk ray count at ~2M so coarse-to-fine
+        # remeshes (F grows 10-100x over a run) never OOM HBM.  Power-of-2
+        # bucketing keeps the jit cache warm across steps.
+        F = max(int(s.f.shape[0]), 1)
+        spt = 1 + (int(s.sample_num) - 1) // F
+        cap = max(1, 2_000_000 // (F * spt))
+        chunk = self.rcfg.source_chunk or self.lighting.shape[0]
+        while chunk > cap:
+            chunk //= 2
         return self.rcfg.replace(
             num_samples=int(s.sample_num),
+            source_chunk=max(chunk, 1),
             normal="vn" if s.testing_flag == 0 else self.rcfg.normal,
             testing_flag=s.testing_flag,
         )
@@ -365,9 +376,11 @@ class InverseRenderingLoop:
                 opt_v=np.asarray(self.opt_state.v),
                 opt_step=int(self.opt_state.step),
                 loop_state=snap, history=hist_snap,
-                extra={"transient": transient, "l2": l2,
-                       "l2_original": original_l2, "grad": grad,
-                       "smoothing_grad": sgrad,
+                extra={"transient": transient.astype(np.float32),
+                       "l2": l2,
+                       "l2_original": original_l2,
+                       "grad": grad.astype(np.float32),
+                       "smoothing_grad": sgrad.astype(np.float32),
                        "sample_num": s.sample_num},
             )
 

@@ -157,4 +157,12 @@ def init_mesh_from_lct(res: LCTResult, threshold: float = 0.8e-3
     )
     v = v_all[mask.ravel()].astype(np.float32)
     f = _grid_faces(mask)
+    # Orient normals toward the wall (-z), the renderer's convention —
+    # the reference flips its Delaunay winding for the same reason
+    # (rendering.py:105).  A backwards init renders a ~zero transient
+    # (all faces backfacing) and the optimization cannot start.
+    if f.shape[0]:
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        if n[:, 2].sum() > 0:
+            f = f[:, ::-1].copy()
     return v, f

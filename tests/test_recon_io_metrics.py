@@ -205,3 +205,26 @@ def test_carve_mesh_overhang_beyond_heightfield():
     ph = vh[fh]
     nh = np.cross(ph[:, 1] - ph[:, 0], ph[:, 2] - ph[:, 0])
     assert (nh[:, 2] <= 1e-9).mean() < 0.05 or True  # (documentation only)
+
+
+def test_init_mesh_faces_wall():
+    """LCT init meshes must wind with normals toward the wall (-z): a
+    backwards init renders a ~zero transient (all faces backfacing) and
+    the optimization never starts — regression for the round-4 flagship
+    stall (reference flips its Delaunay winding too, rendering.py:105)."""
+    t, lighting, cfg = _plane_scene()
+    width = (lighting[:, 0].max() - lighting[:, 0].min()) / 2
+    res = lct_reconstruct(t, width=float(width),
+                          bin_resolution_m=cfg.distance_resolution)
+    thr = float(np.asarray(res.albedo).max()) * 0.3
+    v, f = init_mesh_from_lct(res, threshold=thr)
+    n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    assert n[:, 2].sum() < 0
+    # and it actually renders energy toward the scan wall
+    from nlos_surface_optimization_tpu.render import render_transient
+    import jax as _jax
+    tr, _ = render_transient(make_mesh(v, f), lighting[:16],
+                             np.tile(np.array([0., 0., 1.], np.float32),
+                                     (16, 1)),
+                             cfg, _jax.random.key(0))
+    assert float(np.asarray(tr).sum()) > 0
