@@ -74,6 +74,21 @@ def _find_capture(spec: SceneSpec, workdir: str,
     )
 
 
+def _lct_on_cpu(gt, width, bin_resolution_m):
+    """LCT init pinned to the host CPU backend: the [N,N,B] FFTs take
+    milliseconds on CPU but minutes to COMPILE through remote-TPU serving
+    tunnels (measured 10 min of the first flagship attempt) — and the init
+    runs exactly once, so compiling it for the accelerator never pays."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return lct_reconstruct(gt, width=width,
+                               bin_resolution_m=bin_resolution_m)
+    with jax.default_device(cpu):
+        return lct_reconstruct(gt, width=width,
+                               bin_resolution_m=bin_resolution_m)
+
+
 def run_real_experiment(spec: SceneSpec, workdir: str,
                         max_iters: Optional[int],
                         scan_resolution: Optional[int],
@@ -125,8 +140,7 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
     else:
         log("LCT initialization from measured data")
         width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
-        lct = lct_reconstruct(gt, width=width,
-                              bin_resolution_m=spec.distance_resolution)
+        lct = _lct_on_cpu(gt, width, spec.distance_resolution)
         thr = float(np.asarray(lct.albedo).max()) * 0.25
         v0, f0 = init_mesh_from_lct(lct, threshold=thr)
     log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
@@ -254,8 +268,7 @@ def run_experiment(scene: str, workdir: str,
 
     log("LCT initialization")
     width = float((lighting[:, 0].max() - lighting[:, 0].min()) / 2)
-    lct = lct_reconstruct(gt, width=width,
-                          bin_resolution_m=spec.distance_resolution)
+    lct = _lct_on_cpu(gt, width, spec.distance_resolution)
     thr = float(np.asarray(lct.albedo).max()) * 0.25
     v0, f0 = init_mesh_from_lct(lct, threshold=thr)
     log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
