@@ -42,9 +42,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 RB = 128       # maximum spt the kernel supports (one face per >=1 lane)
 W = 512        # ray lanes per window
-LS = 32        # sources per grid slab (bounds VMEM: rows 1 MB + tables
-#                ~3 MB per slab; Lc=256 whole-chunk blocks OOM'd the 16 MB
-#                scoped VMEM limit)
+# sources per grid slab are sized so (tables + rows) for a slab fit the
+# 16 MB scoped-VMEM limit with double buffering: per source the kernel
+# holds 2*128*PB table floats + 16*W row floats (PB grows with num_bins —
+# B=2048 real captures OOM'd a fixed 32-source slab).
+_VMEM_BUDGET = 6_000_000  # bytes per buffered copy
+
+
+def _slab_sources(Lc: int, PB: int) -> int:
+    per_source = 4 * (2 * 128 * PB + 16 * W)
+    return max(1, min(Lc, _VMEM_BUDGET // per_source))
 
 
 def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Ls, fpw_pad, PB,
@@ -182,7 +189,7 @@ def backward_face_sums_pallas(tables, rows, spt: int, use_gn: bool,
     PB = tables.shape[3]
     fpw = W // spt
     fpw_pad = -(-fpw // 128) * 128
-    Ls = min(LS, Lc)
+    Ls = _slab_sources(Lc, PB)
     nsl = -(-Lc // Ls)
     pad_l = nsl * Ls - Lc
     if pad_l:  # zero rows contribute zero (albedo_w row is 0)
