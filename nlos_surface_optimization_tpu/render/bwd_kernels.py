@@ -46,7 +46,9 @@ W = 512        # ray lanes per window
 # 16 MB scoped-VMEM limit with double buffering: per source the kernel
 # holds 2*128*PB table floats + 16*W row floats (PB grows with num_bins —
 # B=2048 real captures OOM'd a fixed 32-source slab).
-_VMEM_BUDGET = 6_000_000  # bytes per buffered copy
+_VMEM_BUDGET = 3_000_000  # bytes per copy (2x for double
+#                           buffering + kernel scratch must
+#                           stay inside the 16 MB limit)
 
 
 def _slab_sources(Lc: int, PB: int) -> int:
