@@ -145,6 +145,26 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
         v0, f0 = init_mesh_from_lct(lct, threshold=thr)
     log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
 
+    # Radiometric alignment: measured captures are raw photon counts
+    # (exp_s/transient.mat sums to ~4.5e6) while the renderer works in
+    # form-factor units (~1e1 for this scene) — optimizing shape against a
+    # 4000x brighter target stalls (the transient term in the difference
+    # is negligible, so the loss barely responds to vertex moves).  Fit
+    # the reference's closed-form global albedo to the INIT render
+    # (initial_fitting_albedo, exp_ggx/optimize_parameters.py:46-48:
+    # albedo* = sum(gt*T)/sum(T^2)) and fold it into the data scale.
+    from ..render import render_transient_host
+    cfg_fit = cfg.replace(num_samples=max(2000, cfg.num_samples // 10))
+    t_init, _ = render_transient_host(make_mesh(v0, f0), lighting, lnormal,
+                                      cfg_fit, key)
+    t_init = np.asarray(t_init, np.float64)
+    denom = float((t_init * t_init).sum())
+    albedo_star = float((gt * t_init).sum()) / max(denom, 1e-30)
+    if albedo_star > 0:
+        log(f"closed-form albedo fit: {albedo_star:.4g} "
+            "(folded into data scale)")
+        gt = gt / albedo_star
+
     loop_cfg = LoopConfig(
         smooth_ratio=spec.smooth_ratio,
         loss_epsilon=spec.loss_epsilon,
