@@ -165,17 +165,27 @@ def run_real_experiment(spec: SceneSpec, workdir: str,
             "(folded into data scale)")
         gt = gt / albedo_star
 
-    loop_cfg = LoopConfig(
+    loop_cfg = _loop_config(spec, res, workdir)
+    loop = _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg,
+                                v0, f0, key, None, log, resume)
+    return loop.run(max_iters=max_iters)
+
+
+def _loop_config(spec: SceneSpec, res: int, workdir: str) -> LoopConfig:
+    """Per-scene outer-loop config: the reference sets lr0 per scene
+    (exp_bunny/test.py:56 lr0=1e-4/3, exp_s/test.py:56 lr0=1e-4)."""
+    kw = {}
+    if spec.lr0 is not None:
+        kw["lr0"] = spec.lr0
+    return LoopConfig(
         smooth_ratio=spec.smooth_ratio,
         loss_epsilon=spec.loss_epsilon,
         edge_lr_ratio=spec.edge_lr_ratio,
         gamma=spec.gamma,
         scan_resolution=res,
         checkpoint_dir=os.path.join(workdir, "progress"),
+        **kw,
     )
-    loop = _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg,
-                                v0, f0, key, None, log, resume)
-    return loop.run(max_iters=max_iters)
 
 
 def _find_jitter_calibration(workdir: str):
@@ -293,14 +303,7 @@ def run_experiment(scene: str, workdir: str,
     v0, f0 = init_mesh_from_lct(lct, threshold=thr)
     log(f"init mesh: V={v0.shape[0]} F={f0.shape[0]}")
 
-    loop_cfg = LoopConfig(
-        smooth_ratio=spec.smooth_ratio,
-        loss_epsilon=spec.loss_epsilon,
-        edge_lr_ratio=spec.edge_lr_ratio,
-        gamma=spec.gamma,
-        scan_resolution=res,
-        checkpoint_dir=os.path.join(workdir, "progress"),
-    )
+    loop_cfg = _loop_config(spec, res, workdir)
     loop = _make_or_resume_loop(gt, lighting, lnormal, cfg, loop_cfg, v0, f0,
                                 key, gt_mesh, log, resume)
     return loop.run(max_iters=max_iters)

@@ -38,6 +38,10 @@ class SceneSpec:
     smooth_ratio: float = 100.0
     edge_lr_ratio: float = 0.1
     loss_epsilon: float = 1e-4
+    # initial learning rate; None = LoopConfig's default 1e-4/3 (the
+    # synthetic scenes' lr0, exp_bunny/test.py:56).  The real scenes use
+    # 1e-4 (exp_s/test.py:56: lr0 = 0.0001).
+    lr0: Optional[float] = None
     brdf: str = "lambertian"
     ggx_alpha: float = 0.2
     # exp_noise: GT transients are pushed through the SPAD photon model
@@ -64,20 +68,23 @@ SCENES = {
     "ggx": SceneSpec("ggx", mesh_file=_mesh("bunny"), brdf="ggx"),
     "noise": SceneSpec("noise", mesh_file=_mesh("bunny"), spad_noise=True),
     # real captures: 64x64 over [-0.35, 0.35], B=2048 (exp_s/test.py:20-36)
+    # exp_s/test.py:18,56,70: OPT(20000) samples, lr0 = 1e-4
     "s": SceneSpec("s", kind="real", transient_file="transient.mat",
                    scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
                    num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
-                   smooth_ratio=0.5, sample_num=2500, loss_epsilon=1e-5),
+                   smooth_ratio=0.5, sample_num=20_000, loss_epsilon=1e-5,
+                   lr0=1e-4),
     "su": SceneSpec("su", kind="real", transient_file="transient.mat",
                     scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
                     num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
-                    smooth_ratio=0.5, sample_num=2500, loss_epsilon=1e-5),
+                    smooth_ratio=0.5, sample_num=20_000, loss_epsilon=1e-5,
+                    lr0=1e-4),
     "mannequin": SceneSpec("mannequin", kind="real",
                            transient_file="transient.mat",
                            scan_lower=(-0.35, -0.35),
                            scan_upper=(0.35, 0.35), num_bins=2048,
                            gamma=0.0, edge_lr_ratio=1.0, smooth_ratio=0.5,
-                           sample_num=2500, loss_epsilon=1e-5),
+                           sample_num=20_000, loss_epsilon=1e-5, lr0=1e-4),
 }
 
 

@@ -61,6 +61,16 @@ class LoopConfig:
     scan_resolution: int = 64        # drives target edge 0.5/res
     checkpoint_dir: Optional[str] = None
     remesh_iterations: int = 3
+    # Overhead knobs (reference behavior at the defaults): v2 eval vs the
+    # GT mesh every iteration (exp_bunny/test.py:182) and a checkpoint
+    # write every iteration (test.py:186-187).  async_io moves the
+    # compressed .mat serialization off the critical path onto a writer
+    # thread — the arrays handed over are never mutated in place by the
+    # loop (each step REBINDS s.v / opt moments), so no copies are needed;
+    # crash safety is unchanged (atomic .tmp+rename per file).
+    v2_every: int = 1
+    checkpoint_every: int = 1
+    async_io: bool = True
     # pad (V, F) to geometric shape buckets (geometry.mesh.bucket_size) so
     # remeshes reuse compiled programs: padded faces are f_valid=False and
     # contribute exactly zero; spt comes from the valid count (api._spt).
@@ -354,7 +364,8 @@ class InverseRenderingLoop:
         grad = grad + s.smooth_weight * sgrad
 
         v2 = np.nan
-        if self.gt_mesh is not None:
+        if (self.gt_mesh is not None
+                and s.t % max(self.cfg.v2_every, 1) == 0):
             from ..utils.metrics import compute_v2
             v2 = float(compute_v2(jnp.asarray(s.v), self.gt_mesh))
         self.log(
@@ -366,23 +377,25 @@ class InverseRenderingLoop:
         h["l2_original"].append(original_l2)
         h["v2"].append(v2)
 
-        if self.cfg.checkpoint_dir:
+        if (self.cfg.checkpoint_dir
+                and s.t % max(self.cfg.checkpoint_every, 1) == 0):
             os.makedirs(self.cfg.checkpoint_dir, exist_ok=True)
-            save_checkpoint(
+            self._write_checkpoint(
                 os.path.join(self.cfg.checkpoint_dir, f"{s.t:05d}.mat"),
-                v=s.v, f=s.f, iteration=s.t,
-                rng_key=np.asarray(jax.random.key_data(self.key)),
-                opt_m=np.asarray(self.opt_state.m),
-                opt_v=np.asarray(self.opt_state.v),
-                opt_step=int(self.opt_state.step),
-                loop_state=snap, history=hist_snap,
-                extra={"transient": transient.astype(np.float32),
-                       "l2": l2,
-                       "l2_original": original_l2,
-                       "grad": grad.astype(np.float32),
-                       "smoothing_grad": sgrad.astype(np.float32),
-                       "sample_num": s.sample_num},
-            )
+                dict(
+                    v=s.v, f=s.f, iteration=s.t,
+                    rng_key=np.asarray(jax.random.key_data(self.key)),
+                    opt_m=np.asarray(self.opt_state.m),
+                    opt_v=np.asarray(self.opt_state.v),
+                    opt_step=int(self.opt_state.step),
+                    loop_state=snap, history=hist_snap,
+                    extra={"transient": transient.astype(np.float32),
+                           "l2": l2,
+                           "l2_original": original_l2,
+                           "grad": grad.astype(np.float32),
+                           "smoothing_grad": sgrad.astype(np.float32),
+                           "sample_num": s.sample_num},
+                ))
 
         s.run_count += 1
         s.t += 1
@@ -418,6 +431,44 @@ class InverseRenderingLoop:
             s.remesh_flag = True
         return True
 
+    # ------------------------------------------------------------- async IO
+
+    def _write_checkpoint(self, path: str, kw: dict):
+        """save_checkpoint, on a writer thread when cfg.async_io: the
+        compressed-serialize + write (~1 s at flagship sizes) overlaps the
+        next iteration's render instead of extending it.  Writes stay
+        ordered (one worker, FIFO queue); each file is atomic via
+        .tmp+rename, so a crash mid-write never corrupts resume."""
+        if not self.cfg.async_io:
+            save_checkpoint(path, **kw)
+            return
+        if not hasattr(self, "_ckpt_queue"):
+            import queue
+            import threading
+
+            self._ckpt_queue = queue.Queue(maxsize=2)
+
+            def worker():
+                while True:
+                    item = self._ckpt_queue.get()
+                    if item is None:
+                        break
+                    try:
+                        save_checkpoint(item[0], **item[1])
+                    except Exception as e:  # never kill the run over IO
+                        self.log(f"checkpoint write failed: {e!r}")
+                    finally:
+                        self._ckpt_queue.task_done()
+
+            self._ckpt_thread = threading.Thread(target=worker, daemon=True)
+            self._ckpt_thread.start()
+        self._ckpt_queue.put((path, kw))
+
+    def flush_io(self):
+        """Block until queued checkpoint writes hit disk."""
+        if hasattr(self, "_ckpt_queue"):
+            self._ckpt_queue.join()
+
     def _make_mesh(self, vn=None):
         """Mesh for rendering, shape-bucketed when cfg.pad_shapes."""
         s = self.state
@@ -436,7 +487,10 @@ class InverseRenderingLoop:
 
     def run(self, max_iters: Optional[int] = None):
         n = max_iters if max_iters is not None else self.cfg.T
-        while self.state.t < n:
-            if not self.step():
-                break
+        try:
+            while self.state.t < n:
+                if not self.step():
+                    break
+        finally:
+            self.flush_io()
         return self.state, self.history

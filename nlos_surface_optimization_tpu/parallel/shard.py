@@ -95,7 +95,10 @@ def sharded_render_transient(mesh: Mesh, lighting, lighting_normal,
                              cfg: RenderConfig, key, dmesh: DeviceMesh,
                              refine: Optional[int] = None, alpha=None):
     """Forward transient [L, B] with sources sharded over `dmesh`."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    # spt from the VALID face count (same as render.api._spt): padded
+    # rows of a shape-bucketed mesh must not dilute the per-face
+    # sample budget (transient_and_gradient.cpp:184-191 allocation)
+    spt = cfg.samples_per_face(int(np.asarray(mesh.f_valid).sum()))
     r = cfg.bin_refine_resolution if refine is None else refine
     a = jnp.float32(0.1) if alpha is None else alpha
     return _sharded_forward(mesh, jnp.asarray(lighting),
@@ -152,7 +155,10 @@ def sharded_inverse_render(mesh: Mesh, data, weight, lighting,
 
     mode: 'vertex' -> [V,3] vertex gradient; 'albedo'/'alpha' -> scalar.
     Semantics identical to render.api.inverse_render* on one device."""
-    spt = cfg.samples_per_face(int(mesh.f.shape[0]))
+    # spt from the VALID face count (same as render.api._spt): padded
+    # rows of a shape-bucketed mesh must not dilute the per-face
+    # sample budget (transient_and_gradient.cpp:184-191 allocation)
+    spt = cfg.samples_per_face(int(np.asarray(mesh.f_valid).sum()))
     a = jnp.float32(0.1) if alpha is None else alpha
     if mode == "alpha":
         a = alpha

@@ -183,13 +183,34 @@ def marching_tetrahedra(field: np.ndarray, xs, ys, zs, level: float = 0.5
     verts = edge_points(uniq[:, 0], uniq[:, 1]).astype(np.float32)
     faces = vid.reshape(-1, 3).astype(np.int32)
 
+    # Merge coincident vertices BEFORE dropping degenerates: when field
+    # values sit exactly at `level`, crossings on different edges can
+    # interpolate to the same point; collapsing them first turns would-be
+    # pinhole boundary edges into shared edges of the surviving faces.
+    uniq_v, vmap = np.unique(verts, axis=0, return_inverse=True)
+    verts = uniq_v
+    faces = vmap[faces].astype(np.int32)
+    # faces degenerate after the merge (repeated vertex ids) are exact
+    # duplicates of an edge — drop them, and dedup faces sharing the same
+    # vertex-id set
+    nd = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[nd]
+    ins_pt = ins_pt[nd]
+    _, first = np.unique(np.sort(faces, axis=1), axis=0, return_index=True)
+    faces = faces[np.sort(first)]
+    ins_pt = ins_pt[np.sort(first)]
+
     # orient: normal away from the inside reference point
     p = verts[faces]
     n = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
     cen = p.mean(axis=1)
     flip = np.einsum("ij,ij->i", n, cen - ins_pt) < 0
     faces[flip] = faces[flip][:, ::-1]
-    # drop degenerate (zero-area) triangles from tets with shared corners
+    # drop remaining zero-area triangles (distinct but collinear vertices)
     keep = (np.linalg.norm(n, axis=1) > 1e-20)
     return verts, faces[keep]
 

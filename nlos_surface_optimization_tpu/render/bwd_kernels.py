@@ -82,9 +82,13 @@ def _bwd_kernel(tab_ref, rows_ref, out_ref, *, spt, Ls, fpw_pad, PB,
         b2 = row(13)
 
         # ---- tap-table lookup as one-hot contraction -------------------
+        # same floored-integer bound as core._tap_reductions (q computed
+        # from floor, compared as integers), so the two backends agree
+        # independently of the rays.valid mask
         qf = jnp.floor((2.0 * h - bin_lower) / fine_res)
-        ok = (qf >= 0.0) & (qf <= Bf)
-        q = jnp.clip(qf, 0.0, float(Bf)).astype(jnp.int32)  # [1, W]
+        qi = qf.astype(jnp.int32)
+        ok = (qi >= 0) & (qi <= Bf) & (jnp.abs(qf) < 2.0e9)
+        q = jnp.clip(qi, 0, Bf)                             # [1, W]
         qhi = q // 128
         qlo = q - 128 * qhi
 

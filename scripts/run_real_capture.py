@@ -44,6 +44,9 @@ def main():
         last[0] = now
         print(s, flush=True)
 
+    from nlos_surface_optimization_tpu.experiments.scenes import SCENES
+    spec = SCENES[SCENE]
+
     state, hist = run_experiment(
         SCENE, WORKDIR, max_iters=MAX_ITERS, resume=True, log=log,
     )
@@ -66,9 +69,10 @@ def main():
 
 `python scripts/run_real_capture.py` — {len(l2)} iterations in
 {wall / 60:.1f} min on one v5e chip against the reference's ACTUAL
-measured SPAD capture (64x64 scan, B=2048 @ 1.2 mm, 20k samples,
+measured SPAD capture (64x64 scan, B=2048 @ 1.2 mm,
+sample_num={spec.sample_num}, lr0={spec.lr0},
 init from the shipped cnlos_{SCENE}_threshold.obj; no GT mesh => no v2;
-reference flow: exp_s/test.py:55-110).
+reference flow: exp_s/test.py:55-110, config exp_s/test.py:18,56,70).
 
 weighted L2: {l2[0]:.6f} -> {l2[-1]:.6f} (x{l2[-1] / l2[0]:.3f});
 final mesh {state.f.shape[0]} faces.
