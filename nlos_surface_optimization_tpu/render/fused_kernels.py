@@ -37,6 +37,7 @@ residency, so v2 remains the path for very large meshes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,8 +107,8 @@ def _group_boxes(v, f, f_valid, ngroups, gf):
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, rays_ref, tri_ref,
-                  occ_ref, hist_ref, *, gp, bs, t_rel, t_min, eps_det):
+def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, page0_ref, rays_ref, tri_ref,
+                  occ_ref, hist_ref, *, gp, bs, wp, t_rel, t_min, eps_det):
     b = pl.program_id(0)
     cnt = cnt_ref[b]
     full = cnt > KA_MAX
@@ -182,59 +183,77 @@ def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, rays_ref, tri_ref,
     # occ rows are packed 8 blocks to a (8, RB) tile (min f32 tile shape)
     occ_ref[0, pl.ds(b % 8, 1), :] = occ1.astype(jnp.float32)
 
-    # ---- histogram splat (one-hot MXU matmul; exact) --------------------
-    contrib = jnp.where(occ1, 0.0, row(8))            # [1, RB]
-    binf = row(9)                                     # [1, RB] f32 ints
-
-    # transpose the bin column onto sublanes: [1, RB] -> [RB, 1]
-    bin_t = jax.lax.transpose(binf, (1, 0))
-    lane_f = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 128), 1).astype(jnp.float32)
-    prow_f = jax.lax.broadcasted_iota(
-        jnp.int32, (bs, 1), 0).astype(jnp.float32)
-    b_lane = bin_t - 128.0 * jnp.floor(bin_t / 128.0)       # [RB, 1]
-    B2 = (b_lane == lane_f).astype(jnp.float32)             # [RB, 128]
-    A2 = jnp.where(jnp.floor(binf / 128.0) == prow_f, contrib, 0.0)  # [bs,RB]
-
-    hist = jax.lax.dot_general(
-        A2, B2, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                        # [bs, 128]
-
     first = (b == 0) | (lsrc_ref[b] != lsrc_ref[jnp.maximum(b - 1, 0)])
 
     @pl.when(first)
     def _():
         hist_ref[0] = jnp.zeros_like(hist_ref[0])
 
-    hist_ref[0] += hist
+    # ---- histogram splat (one-hot MXU matmul; exact) --------------------
+    # Windowed: one block's rays span a few consecutive bin PAGES (their
+    # path lengths differ by the sample patch's extent), so the one-hot
+    # page matrix covers wp pages starting at the prefetched per-block
+    # base page0 (8-aligned) instead of all bs — the [bs, RB] build and
+    # [bs, 128] accumulate were the kernel's largest fixed cost.  Rays
+    # outside the window match no row (exactly zero here); the caller
+    # splats them via the XLA residual path.  page0 < 0 flags a block
+    # with no nonzero contribution: skip the build entirely.
+    p0 = page0_ref[b]
+
+    @pl.when(p0 >= 0)
+    def _():
+        contrib = jnp.where(occ1, 0.0, row(8))            # [1, RB]
+        binf = row(9)                                     # [1, RB] f32 ints
+
+        # transpose the bin column onto sublanes: [1, RB] -> [RB, 1]
+        bin_t = jax.lax.transpose(binf, (1, 0))
+        lane_f = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1).astype(jnp.float32)
+        prow_f = jax.lax.broadcasted_iota(
+            jnp.int32, (wp, 1), 0).astype(jnp.float32)
+        b_lane = bin_t - 128.0 * jnp.floor(bin_t / 128.0)     # [RB, 1]
+        B2 = (b_lane == lane_f).astype(jnp.float32)           # [RB, 128]
+        page_rel = jnp.floor(binf / 128.0) - p0.astype(jnp.float32)
+        A2 = jnp.where(page_rel == prow_f, contrib, 0.0)      # [wp, RB]
+
+        hist = jax.lax.dot_general(
+            A2, B2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                     # [wp, 128]
+        if wp == bs:  # window covers everything: static-index store
+            hist_ref[0] += hist
+        else:
+            hist_ref[0, pl.ds(p0, wp), :] += hist
 
 
-def _fused_call(rays_t, counts, lists, lsrc_local, tri, gp, bs, nsrc,
-                t_rel, t_min, interpret):
+def _fused_call(rays_t, counts, lists, lsrc_local, page0, tri, gp, bs, wp,
+                nsrc, t_rel, t_min, interpret):
     nba = rays_t.shape[1] // RB
-    # counts, lists, lsrc ride as scalar prefetch; the hist output block
-    # is selected by the prefetched per-block source index (ls[b]), so
-    # consecutive blocks of one source revisit the same VMEM block.
+    # counts, lists, lsrc, page0 ride as scalar prefetch; the hist output
+    # block is selected by the prefetched per-block source index (ls[b]),
+    # so consecutive blocks of one source revisit the same VMEM block.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nba,),
         in_specs=[
-            pl.BlockSpec((16, RB), lambda b, cnt, lst, ls: (0, b),
+            pl.BlockSpec((16, RB), lambda b, cnt, lst, ls, p0: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gp + 1, GF, 16), lambda b, cnt, lst, ls: (0, 0, 0),
+            pl.BlockSpec((gp + 1, GF, 16),
+                         lambda b, cnt, lst, ls, p0: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, RB), lambda b, cnt, lst, ls: (b // 8, 0, 0),
+            pl.BlockSpec((1, 8, RB),
+                         lambda b, cnt, lst, ls, p0: (b // 8, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, 128), lambda b, cnt, lst, ls: (ls[b], 0, 0),
+            pl.BlockSpec((1, bs, 128),
+                         lambda b, cnt, lst, ls, p0: (ls[b], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     occ, hist = pl.pallas_call(
-        functools.partial(_fused_kernel, gp=gp, bs=bs, t_rel=t_rel,
+        functools.partial(_fused_kernel, gp=gp, bs=bs, wp=wp, t_rel=t_rel,
                           t_min=t_min, eps_det=1e-12),
         grid_spec=grid_spec,
         out_shape=[
@@ -242,7 +261,7 @@ def _fused_call(rays_t, counts, lists, lsrc_local, tri, gp, bs, nsrc,
             jax.ShapeDtypeStruct((nsrc, bs, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists.reshape(-1), lsrc_local, rays_t, tri)
+    )(counts, lists.reshape(-1), lsrc_local, page0, rays_t, tri)
     return occ.reshape(nba, RB), hist
 
 
@@ -269,7 +288,10 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     rs_real = R // Lc
     nbs = pl.cdiv(rs_real, RB)
     Rs = nbs * RB
-    bs = pl.cdiv(num_fine_bins, 128)
+    # page count 8-aligned so the kernel's windowed accumulate lands on
+    # (8, 128) f32 tile boundaries; the window covers wp pages
+    bs = pl.cdiv(pl.cdiv(num_fine_bins, 128), 8) * 8
+    wp = min(int(os.environ.get("NST_FUSED_WP", "24")), bs)
 
     dt = jnp.float32
 
@@ -328,6 +350,24 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     counts, lists = _slab_candidates(a_seg, b_seg, half, boxes, KA_MAX)
     lsrc = (jnp.arange(nbm, dtype=jnp.int32) // nbs)
 
+    # per-block histogram window base: min bin page over the block's
+    # nonzero-contribution rays, aligned down to 8 pages; -1 = no
+    # contribution at all (skip the splat in-kernel)
+    page_b = (b_p.reshape(nbm, RB).astype(jnp.int32) // 128)
+    czero = (c_p.reshape(nbm, RB) != 0.0)
+    pmin = jnp.where(czero, page_b, jnp.iinfo(jnp.int32).max).min(axis=1)
+    has_c = jnp.any(czero, axis=1)
+    page0 = jnp.where(
+        has_c,
+        jnp.clip((pmin // 8) * 8, 0, max(bs - wp, 0)),
+        -1,
+    ).astype(jnp.int32)
+    # rays whose page falls past the window (possible only when a block
+    # spans > wp-8 pages, e.g. across a Morton seam) match no one-hot row
+    # in the kernel; they are splatted exactly by the residual pass below
+    res_mask_b = czero & (page_b >= page0[:, None] + wp)
+    has_res = jnp.any(res_mask_b)
+
     ng = pl.cdiv(nbm, MAX_NBA)
     nba = pl.cdiv(pl.cdiv(nbm, ng), 8) * 8    # occ rows pack 8 to a tile
     nsrc = -(-nba // nbs) + 1                                 # sources/call
@@ -337,27 +377,30 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
         counts = jnp.pad(counts, (0, pad_b))
         lists = jnp.pad(lists, ((0, pad_b), (0, 0)), constant_values=gp)
         lsrc = jnp.pad(lsrc, (0, pad_b), constant_values=Lc - 1)
+        page0 = jnp.pad(page0, (0, pad_b), constant_values=-1)
         rays_t = jnp.pad(rays_t, ((0, 0), (0, pad_b * RB)))
 
     counts = counts.reshape(ng, nba)
     lists = lists.reshape(ng, nba, KA_MAX)
     lsrc = lsrc.reshape(ng, nba)
+    page0 = page0.reshape(ng, nba)
     lsrc0 = lsrc[:, 0]
     lsrc_local = (lsrc - lsrc0[:, None]).astype(jnp.int32)
     rays_g = rays_t.reshape(16, ng, nba * RB)
 
     def one(args):
-        cnts, lsts, lsl, rg = args
-        return _fused_call(rg, cnts, lsts, lsl, tri, gp, bs, nsrc,
+        cnts, lsts, lsl, p0, rg = args
+        return _fused_call(rg, cnts, lsts, lsl, p0, tri, gp, bs, wp, nsrc,
                            t_rel, t_min, interpret)
 
     if ng == 1:
-        occ, hist = one((counts[0], lists[0], lsrc_local[0], rays_g[:, 0]))
+        occ, hist = one((counts[0], lists[0], lsrc_local[0], page0[0],
+                         rays_g[:, 0]))
         occ = occ.reshape(1, nba, RB)
         hist = hist[None]
     else:
         occ, hist = jax.lax.map(
-            one, (counts, lists, lsrc_local, rays_g.swapaxes(0, 1)))
+            one, (counts, lists, lsrc_local, page0, rays_g.swapaxes(0, 1)))
 
     # stitch: occ back to [R] bool; hist slots -> [Lc, bins]
     occ = occ.reshape(ng * nba, RB)[:nbm].reshape(Lc, Rs)
@@ -373,4 +416,22 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     flat = hist.reshape(ng * nsrc, bs * 128)
     seg = jnp.clip(src_of.reshape(-1), 0, Lc - 1)
     out = jax.ops.segment_sum(flat, seg, num_segments=Lc)
-    return occ, out[:, :num_fine_bins]
+    out = out[:, :num_fine_bins]
+
+    def residual(_):
+        # exact splat of the out-of-window rays (unoccluded only); in the
+        # common case has_res is False and this branch never executes
+        rm = (res_mask_b.reshape(Lc, Rs)[:, :rs_real].reshape(R)
+              & ~occ)
+        cr = jnp.where(rm, contrib_pre, 0.0)
+        l_idx = jnp.repeat(jnp.arange(Lc, dtype=jnp.int32), rs_real)
+        seg_r = l_idx * num_fine_bins + jnp.clip(
+            bin_idx, 0, num_fine_bins - 1)
+        return jax.ops.segment_sum(
+            cr, seg_r, num_segments=Lc * num_fine_bins
+        ).reshape(Lc, num_fine_bins)
+
+    out = out + jax.lax.cond(
+        has_res, residual,
+        lambda _: jnp.zeros((Lc, num_fine_bins), jnp.float32), 0)
+    return occ, out

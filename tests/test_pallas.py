@@ -155,6 +155,56 @@ def test_fused_kernel_matches_reference(bumpy_mesh):
     assert occ_ref.any()
 
 
+def test_fused_kernel_windowed_residual(bumpy_mesh):
+    """Bin count far beyond the kernel's wp-page histogram window, with
+    per-block bin spreads that overflow it: the out-of-window rays must be
+    splatted exactly by the XLA residual pass (window base page0 logic)."""
+    from nlos_surface_optimization_tpu.render.fused_kernels import (
+        occluded_splat_pallas,
+    )
+
+    v, f = bumpy_mesh
+    rng = np.random.RandomState(7)
+    F = f.shape[0]
+    Lc, spt = 2, 2
+    R = Lc * F * spt
+    src = np.stack([rng.uniform(0.7, 0.9, Lc),
+                    rng.uniform(-0.25, 0.25, Lc), 0.45 + np.zeros(Lc)], 1)
+    fi = np.tile(np.repeat(np.arange(F), spt), Lc).astype(np.int32)
+    u = rng.rand(R).astype(np.float32)
+    w = rng.rand(R).astype(np.float32)
+    m = u + w > 1
+    u[m], w[m] = 1 - u[m], 1 - w[m]
+    p = (v[f[fi, 0]] * (1 - u - w)[:, None] + v[f[fi, 1]] * u[:, None]
+         + v[f[fi, 2]] * w[:, None])
+    o = np.repeat(src, F * spt, 0).astype(np.float32)
+    d = p - o
+    t = np.linalg.norm(d, axis=1).astype(np.float32)
+    d = (d / t[:, None]).astype(np.float32)
+    contrib = rng.rand(R).astype(np.float32)
+    # a few zero-contribution rays: they must not widen the window
+    contrib[rng.rand(R) < 0.1] = 0.0
+    NB = 4096  # 32 pages > wp=24: window + residual both active
+    bins = rng.randint(0, NB, R).astype(np.int32)
+    f_valid = jnp.ones(F, bool)
+    vj = jnp.asarray(v, jnp.float32)
+
+    occ_ref = np.asarray(segment_occluded(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fi),
+        vj, jnp.asarray(f), f_valid))
+    hist_ref = np.zeros((Lc, NB), np.float32)
+    l_idx = np.repeat(np.arange(Lc), F * spt)
+    np.add.at(hist_ref, (l_idx, bins), np.where(occ_ref, 0, contrib))
+
+    occ, hist = occluded_splat_pallas(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t), jnp.asarray(fi),
+        jnp.asarray(contrib), jnp.asarray(bins), vj, jnp.asarray(f),
+        f_valid, Lc, NB, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+    np.testing.assert_allclose(np.asarray(hist), hist_ref, rtol=2e-6,
+                               atol=1e-7)
+
+
 def test_fused_backend_inverse_matches_jnp(bumpy_mesh):
     """occl_backend='fused' reproduces the jnp transient AND gradient."""
     import nlos_surface_optimization_tpu as nst

@@ -217,3 +217,52 @@ def test_real_capture_two_iterations(tmp_path):
     assert len(hist["l2"]) == 2
     assert np.isfinite(hist["l2"]).all()
     assert np.isfinite(state.v).all()
+
+
+@pytest.mark.skipif(_REF_DATA is None,
+                    reason="reference measured captures not available")
+def test_real_capture_remesh_crossing(tmp_path):
+    """The ACTUAL exp_s capture (B=2048 intact, scan downsampled for CPU)
+    driven through a FORCED remesh boundary: locks in the backward
+    kernel's B=2048 VMEM-slab sizing (bwd_kernels._slab_sources) and the
+    shape-bucketed re-jit across a face-count change — the regime the
+    round-4 slab fixes (commits 82d0908, 9da5f70) addressed, previously
+    exercised only by the one-off run scripts."""
+    from nlos_surface_optimization_tpu.config import RenderConfig
+    from nlos_surface_optimization_tpu.experiments.run import _find_capture
+    from nlos_surface_optimization_tpu.experiments.scenes import SCENES
+    from nlos_surface_optimization_tpu.io.mat import load_real_capture
+    from nlos_surface_optimization_tpu.io.obj import read_obj
+    from nlos_surface_optimization_tpu.optim.outer_loop import (
+        InverseRenderingLoop,
+        LoopConfig,
+    )
+
+    spec = SCENES["s"]
+    p = _os.path.join(_REF_DATA, "transient_rendering_cython", "exp_s",
+                      "transient.mat")
+    gt, lighting, res = load_real_capture(p, downsample=8)   # 8x8, B=2048
+    assert gt.shape == (64, 2048)
+    lnormal = np.tile(np.array([0.0, 0.0, 1.0], np.float32),
+                      (lighting.shape[0], 1))
+    init_obj = _os.path.join(_os.path.dirname(p), "cnlos_s_threshold.obj")
+    v0, f0 = read_obj(init_obj)
+    cfg = RenderConfig(num_samples=800, num_bins=2048,
+                       distance_resolution=spec.distance_resolution,
+                       source_chunk=64)
+    events = []
+    loop = InverseRenderingLoop(
+        gt, lighting, lnormal, cfg,
+        LoopConfig(smooth_ratio=spec.smooth_ratio, gamma=spec.gamma,
+                   edge_lr_ratio=spec.edge_lr_ratio, lr0=spec.lr0,
+                   scan_resolution=res, forced_remesh_every=2,
+                   checkpoint_dir=None),
+        v0, f0, KEY, log=events.append)
+    faces_before = loop.state.f.shape[0]
+    state, hist = loop.run(max_iters=6)
+    assert any(e == "remesh" for e in events), events
+    # the loop rendered on both sides of the remesh without NaN
+    assert len(hist["l2"]) >= 4
+    assert np.isfinite(hist["l2"]).all()
+    assert np.isfinite(state.v).all()
+    assert state.f.shape[0] != faces_before or len(events) > 2
