@@ -44,7 +44,9 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
         num_bins=spec.num_bins,
         distance_resolution=spec.distance_resolution,
         source_chunk=chunk,
+        brdf=spec.brdf,   # ggx GT renders with the scene's true alpha
     )
+    alpha = spec.ggx_alpha if spec.brdf == "ggx" else None
     lighting, lnormal = make_confocal_scan(
         res, lower=spec.scan_lower, upper=spec.scan_upper
     )
@@ -55,14 +57,19 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
     os.makedirs(out_dir, exist_ok=True)
     files = []
     for i, idx in enumerate(shards):
+        done = os.path.join(out_dir, f"{spec.name}_transient_{res}_{i}.mat")
+        if os.path.exists(done):     # resumable: shard writes are atomic
+            files.append(done)
+            continue
         if dmesh is not None:
             from ..parallel import sharded_render_transient
             t = sharded_render_transient(
-                mesh, lighting[idx], lnormal[idx], cfg, key, dmesh, refine=1
+                mesh, lighting[idx], lnormal[idx], cfg, key, dmesh,
+                refine=1, alpha=alpha,
             )
         else:
             t, _ = render_transient_host(mesh, lighting[idx], lnormal[idx],
-                                         cfg, key, refine=1)
+                                         cfg, key, refine=1, alpha=alpha)
         fn = os.path.join(out_dir,
                           f"{spec.name}_transient_{res}_{i}.mat")
         scipy.io.savemat(fn + ".tmp", {

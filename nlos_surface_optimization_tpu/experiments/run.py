@@ -276,7 +276,10 @@ def run_experiment(scene: str, workdir: str,
         log(f"creating GT transients for {scene} at {res}x{res}")
         files = create_gt(
             spec, gt_v, gt_f, os.path.join(workdir, "setup"),
-            num_shards=8, resolution=res,
+            # 16 shards at the flagship 256 scan = the reference's batch
+            # layout (test.py:63); atomic per-shard writes make the GT
+            # phase resumable at shard granularity
+            num_shards=16 if res >= 256 else 8, resolution=res,
             sample_num=gt_sample_num or min(spec.gt_sample_num, 200_000),
             key=key,
         )

@@ -46,17 +46,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 RB = 128            # rays per block (lanes)
 GF = 8              # faces per candidate group (sublanes)
-KA_MAX = 128        # candidate-list slots per block (SMEM int32)
-MAX_NBA = 512       # blocks per pallas_call: SMEM lists ~266 KB
+KA_MAX = 256        # candidate-list slots per block (SMEM int32)
+MAX_NBA = 256       # blocks per pallas_call: SMEM lists ~262 KB
 UNROLL = 4
 
-# Auto-backend bound.  VMEM residency allows ~32k faces, but measured
-# scaling (scripts/bench_scale.py) shows the candidate lists saturating
-# KA_MAX well before that (at 31k faces most blocks overflow to full
-# scans and the tiled 'pallas' kernel is 3x faster); 16k keeps 'auto' on
-# the winning side of the crossover.  An explicit 'fused' still runs up
-# to VMEM limits.
-FUSED_FACE_CAP = 16384
+# Hard bound for the fused path: the triangle soup must stay VMEM
+# resident (gp groups x 528 B incl. sentinel); 64k faces = ~4.2 MB soup,
+# leaving room for the ray block, histogram block and scalar lists.
+# Beyond it the HBM-tiled 'pallas' kernel serves.  Round-5 measurement
+# (SCALING_r05): with KA_MAX=256 candidate lists and the windowed
+# histogram, 'fused' beats 'pallas' through this whole range (31k faces:
+# measured mean ~120 candidate groups/block at spt=1), so the auto
+# threshold IS the VMEM bound — superseding round 4's 16k saturation
+# crossover, which was measured at KA_MAX=128.
+FUSED_FACE_CAP = 65536
 
 
 def _slab_candidates(a, b, half, boxes, l_store):

@@ -90,7 +90,7 @@ def main():
     plans = {
         3042: ["jnp", "fused", "pallas", ],
         31250: ["fused", "pallas", ],
-        99458: ["pallas"],
+        99458: ["fused", "pallas"],
         250000: ["pallas"],
     }
     for Ftgt, n in grids.items():
