@@ -46,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 RB = 128            # rays per block (lanes)
 GF = 8              # faces per candidate group (sublanes)
-KA_MAX = 256        # candidate-list slots per block (SMEM int32)
-MAX_NBA = 256       # blocks per pallas_call: SMEM lists ~262 KB
+KA_MAX = 256        # fine candidate-list slots per block (SMEM int32)
+KA2_MAX = 128       # coarse 64-face-supergroup slots (overflow fallback)
+MAX_NBA = 256       # blocks per pallas_call: SMEM lists ~400 KB
 UNROLL = 4
 
 # Hard bound for the fused path: the triangle soup must stay VMEM
@@ -110,12 +111,22 @@ def _group_boxes(v, f, f_valid, ngroups, gf):
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, page0_ref, rays_ref, tri_ref,
-                  occ_ref, hist_ref, *, gp, bs, wp, t_rel, t_min, eps_det):
+def _fused_kernel(cnt_ref, cnt2_ref, lst_ref, lst2_ref, lsrc_ref, page0_ref,
+                  rays_ref, tri_ref, occ_ref, hist_ref, *, gp_pad, bs, wp,
+                  t_rel, t_min, eps_det):
     b = pl.program_id(0)
+    # Two-level candidate regime (VERDICT r4 #4): blocks overflowing the
+    # fine 8-face-group list fall back to the coarse 64-face-supergroup
+    # list (each entry expands to 8 consecutive group tests) before the
+    # full-soup scan of last resort — at 99k faces ~10% of blocks
+    # overflow KA_MAX and a full scan costs 60x a typical block.
     cnt = cnt_ref[b]
-    full = cnt > KA_MAX
-    n4 = jnp.where(full, gp // UNROLL, (cnt + UNROLL - 1) // UNROLL)
+    cnt2 = cnt2_ref[b]
+    fine = cnt <= KA_MAX
+    coarse = jnp.logical_and(jnp.logical_not(fine), cnt2 <= KA2_MAX)
+    n4 = jnp.where(
+        fine, (cnt + UNROLL - 1) // UNROLL,
+        jnp.where(coarse, cnt2 * (8 // UNROLL), gp_pad // UNROLL))
 
     def row(r):
         return rays_ref[r:r + 1, :]       # [1, RB]
@@ -172,9 +183,10 @@ def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, page0_ref, rays_ref, tri_ref,
         k0 = i * UNROLL
         for r in range(UNROLL):
             k = k0 + r
+            g_fine = lst_ref[b * KA_MAX + jnp.minimum(k, KA_MAX - 1)]
+            sg = lst2_ref[b * KA2_MAX + jnp.minimum(k >> 3, KA2_MAX - 1)]
             gid = jnp.where(
-                full, k, lst_ref[b * KA_MAX + jnp.minimum(k, KA_MAX - 1)]
-            )
+                fine, g_fine, jnp.where(coarse, sg * 8 + (k & 7), k))
             # f32 0/1 accumulator: Mosaic cannot carry an i1 vector
             # through scf.for
             acc = jnp.maximum(acc, mt_group(gid).astype(jnp.float32))
@@ -230,41 +242,43 @@ def _fused_kernel(cnt_ref, lst_ref, lsrc_ref, page0_ref, rays_ref, tri_ref,
             hist_ref[0, pl.ds(p0, wp), :] += hist
 
 
-def _fused_call(rays_t, counts, lists, lsrc_local, page0, tri, gp, bs, wp,
-                nsrc, t_rel, t_min, interpret):
+def _fused_call(rays_t, counts, counts2, lists, lists2, lsrc_local, page0,
+                tri, gp_pad, bs, wp, nsrc, t_rel, t_min, interpret):
     nba = rays_t.shape[1] // RB
-    # counts, lists, lsrc, page0 ride as scalar prefetch; the hist output
-    # block is selected by the prefetched per-block source index (ls[b]),
-    # so consecutive blocks of one source revisit the same VMEM block.
+    # counts/counts2, lists/lists2, lsrc, page0 ride as scalar prefetch;
+    # the hist output block is selected by the prefetched per-block
+    # source index (ls[b]), so consecutive blocks of one source revisit
+    # the same VMEM block.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(nba,),
         in_specs=[
-            pl.BlockSpec((16, RB), lambda b, cnt, lst, ls, p0: (0, b),
+            pl.BlockSpec((16, RB), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gp + 1, GF, 16),
-                         lambda b, cnt, lst, ls, p0: (0, 0, 0),
+            pl.BlockSpec((gp_pad + 8, GF, 16),
+                         lambda b, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, RB),
-                         lambda b, cnt, lst, ls, p0: (b // 8, 0, 0),
+                         lambda b, *_: (b // 8, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bs, 128),
-                         lambda b, cnt, lst, ls, p0: (ls[b], 0, 0),
+                         lambda b, c, c2, l, l2, ls, p0: (ls[b], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     occ, hist = pl.pallas_call(
-        functools.partial(_fused_kernel, gp=gp, bs=bs, wp=wp, t_rel=t_rel,
-                          t_min=t_min, eps_det=1e-12),
+        functools.partial(_fused_kernel, gp_pad=gp_pad, bs=bs, wp=wp,
+                          t_rel=t_rel, t_min=t_min, eps_det=1e-12),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nba // 8, 8, RB), jnp.float32),
             jax.ShapeDtypeStruct((nsrc, bs, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, lists.reshape(-1), lsrc_local, page0, rays_t, tri)
+    )(counts, counts2, lists.reshape(-1), lists2.reshape(-1), lsrc_local,
+      page0, rays_t, tri)
     return occ.reshape(nba, RB), hist
 
 
@@ -317,23 +331,28 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     ], axis=0).reshape(10, Lc * Rs)
     rays_t = jnp.pad(rows, ((0, 6), (0, 0)))          # [16, Lc*Rs]
 
-    # triangle soup, grouped by GF faces, sentinel group gp appended
+    # triangle soup in GF-face groups, 8-supergroup aligned, with EIGHT
+    # sentinel groups appended (ids [gp_pad, gp_pad+8): both the fine
+    # sentinel gp_pad and the coarse sentinel supergroup gp2 -> group ids
+    # gp_pad..gp_pad+7 land on all-invalid rows)
     gp = pl.cdiv(F, GF)
-    gp = pl.cdiv(gp, UNROLL) * UNROLL
-    Fp = gp * GF
+    gp_pad = pl.cdiv(gp, 8) * 8          # 8 | gp_pad, and UNROLL | 8
+    Fp = gp_pad * GF
+    gp2 = gp_pad // 8                    # 64-face supergroups
     p1 = v[f[:, 0]].astype(dt)
     e1 = (v[f[:, 1]] - v[f[:, 0]]).astype(dt)
     e2 = (v[f[:, 2]] - v[f[:, 0]]).astype(dt)
     soup = jnp.concatenate(
         [p1, e1, e2, f_valid.astype(dt)[:, None]], axis=1)   # [F, 10]
     soup = jnp.pad(soup, ((0, Fp - F), (0, 6)))
-    tri = soup.reshape(gp, GF, 16)
-    tri = jnp.pad(tri, ((0, 1), (0, 0), (0, 0)))             # sentinel
+    tri = soup.reshape(gp_pad, GF, 16)
+    tri = jnp.pad(tri, ((0, 8), (0, 0), (0, 0)))             # sentinels
 
     # broad phase per ray block (origin is a point: one source per block)
     fv_p = jnp.pad(f_valid, (0, Fp - F))
     f_pad = jnp.pad(f, ((0, Fp - F), (0, 0)))
-    boxes = _group_boxes(v, f_pad, fv_p, gp, GF)
+    boxes = _group_boxes(v, f_pad, fv_p, gp_pad, GF)
+    boxes2 = _group_boxes(v, f_pad, fv_p, gp2, GF * 8)
 
     nbm = Lc * nbs
     p_end = o_p + d_p * t_p
@@ -351,6 +370,7 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     b_seg = 0.5 * (plo + phi)
     half = 0.5 * (phi - plo)
     counts, lists = _slab_candidates(a_seg, b_seg, half, boxes, KA_MAX)
+    counts2, lists2 = _slab_candidates(a_seg, b_seg, half, boxes2, KA2_MAX)
     lsrc = (jnp.arange(nbm, dtype=jnp.int32) // nbs)
 
     # per-block histogram window base: min bin page over the block's
@@ -378,13 +398,19 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     pad_b = ng * nba - nbm
     if pad_b:
         counts = jnp.pad(counts, (0, pad_b))
-        lists = jnp.pad(lists, ((0, pad_b), (0, 0)), constant_values=gp)
+        counts2 = jnp.pad(counts2, (0, pad_b))
+        lists = jnp.pad(lists, ((0, pad_b), (0, 0)),
+                        constant_values=gp_pad)
+        lists2 = jnp.pad(lists2, ((0, pad_b), (0, 0)),
+                         constant_values=gp2)
         lsrc = jnp.pad(lsrc, (0, pad_b), constant_values=Lc - 1)
         page0 = jnp.pad(page0, (0, pad_b), constant_values=-1)
         rays_t = jnp.pad(rays_t, ((0, 0), (0, pad_b * RB)))
 
     counts = counts.reshape(ng, nba)
+    counts2 = counts2.reshape(ng, nba)
     lists = lists.reshape(ng, nba, KA_MAX)
+    lists2 = lists2.reshape(ng, nba, KA2_MAX)
     lsrc = lsrc.reshape(ng, nba)
     page0 = page0.reshape(ng, nba)
     lsrc0 = lsrc[:, 0]
@@ -392,18 +418,19 @@ def occluded_splat_pallas(o, d, t_self, self_fid, contrib_pre, bin_idx,
     rays_g = rays_t.reshape(16, ng, nba * RB)
 
     def one(args):
-        cnts, lsts, lsl, p0, rg = args
-        return _fused_call(rg, cnts, lsts, lsl, p0, tri, gp, bs, wp, nsrc,
-                           t_rel, t_min, interpret)
+        cnts, cnts2, lsts, lsts2, lsl, p0, rg = args
+        return _fused_call(rg, cnts, cnts2, lsts, lsts2, lsl, p0, tri,
+                           gp_pad, bs, wp, nsrc, t_rel, t_min, interpret)
 
     if ng == 1:
-        occ, hist = one((counts[0], lists[0], lsrc_local[0], page0[0],
-                         rays_g[:, 0]))
+        occ, hist = one((counts[0], counts2[0], lists[0], lists2[0],
+                         lsrc_local[0], page0[0], rays_g[:, 0]))
         occ = occ.reshape(1, nba, RB)
         hist = hist[None]
     else:
         occ, hist = jax.lax.map(
-            one, (counts, lists, lsrc_local, page0, rays_g.swapaxes(0, 1)))
+            one, (counts, counts2, lists, lists2, lsrc_local, page0,
+                  rays_g.swapaxes(0, 1)))
 
     # stitch: occ back to [R] bool; hist slots -> [Lc, bins]
     occ = occ.reshape(ng * nba, RB)[:nbm].reshape(Lc, Rs)

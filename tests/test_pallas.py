@@ -227,6 +227,30 @@ def test_fused_backend_inverse_matches_jnp(bumpy_mesh):
                                atol=1e-7)
 
 
+@pytest.mark.parametrize("ka,ka2", [(4, 128), (4, 2)])
+def test_fused_two_level_fallback(bumpy_mesh, monkeypatch, ka, ka2):
+    """Shrinking the fine list forces the coarse 64-face-supergroup
+    regime (ka2 ample) or the full-scan regime (ka2 tiny too); both must
+    reproduce the jnp backend exactly."""
+    import nlos_surface_optimization_tpu as nst
+    from nlos_surface_optimization_tpu.geometry.mesh import make_mesh
+    from nlos_surface_optimization_tpu.render import fused_kernels as fk
+    from nlos_surface_optimization_tpu.render import render_transient
+
+    v, f = bumpy_mesh
+    mesh = make_mesh(v, f)
+    lighting, lnormal = nst.make_confocal_scan(4)
+    cfg = nst.RenderConfig(num_samples=400, num_bins=300,
+                           distance_resolution=5e-3)
+    t_ref, _ = render_transient(mesh, lighting, lnormal, cfg, KEY, refine=1)
+    monkeypatch.setattr(fk, "KA_MAX", ka)
+    monkeypatch.setattr(fk, "KA2_MAX", ka2)
+    cfg_f = cfg.replace(occl_backend="fused")
+    t_f, _ = render_transient(mesh, lighting, lnormal, cfg_f, KEY, refine=1)
+    np.testing.assert_allclose(np.array(t_f), np.array(t_ref), rtol=2e-5,
+                               atol=1e-8)
+
+
 def test_fused_multigroup(bumpy_mesh, monkeypatch):
     """Block counts above MAX_NBA run as an outer lax.map over groups."""
     import nlos_surface_optimization_tpu as nst
