@@ -71,6 +71,15 @@ class LoopConfig:
     v2_every: int = 1
     checkpoint_every: int = 1
     async_io: bool = True
+    # Common random numbers across iterations — the reference's ACTUAL
+    # sampling semantics: every render call constructs a fresh SamplerSet
+    # from a fixed (non-time) seed (smoothed_transient/sampler.cpp:24-25,
+    # transient_and_gradient.cpp:256), so the whole optimization reuses
+    # one sample pattern.  CRN removes MC noise from the plateau
+    # detector's l2 differences — without it, measured-capture runs
+    # (shot-noise-dominated l2) plateau-churn through remeshes instead
+    # of descending.  False restores per-iteration re-sampling.
+    frozen_sampling: bool = True
     # pad (V, F) to geometric shape buckets (geometry.mesh.bucket_size) so
     # remeshes reuse compiled programs: padded faces are f_valid=False and
     # contribute exactly zero; spt comes from the valid count (api._spt).
@@ -324,7 +333,8 @@ class InverseRenderingLoop:
         mesh = self._make_mesh(
             vn=self._vertex_normals() if cfgc.normal == "vn" else None,
         )
-        k = jax.random.fold_in(self.key, s.t)
+        k = (self.key if self.cfg.frozen_sampling
+             else jax.random.fold_in(self.key, s.t))
         transient, grad, _ = self._inverse(mesh, self.gt, self.weight, cfgc, k)
         transient = np.asarray(transient)
         grad = np.asarray(grad)[: s.v.shape[0]]

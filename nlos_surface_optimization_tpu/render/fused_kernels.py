@@ -5,16 +5,20 @@ One kernel pass per source chunk does BOTH halves of the forward hot loop
 bin scatter at :204-235):
 
   occlusion   Each grid step owns a 128-ray block (one source, Morton-
-              consecutive faces).  Per-block candidate lists of EIGHT-face
-              groups (swept-hull-vs-AABB slab broad phase, built in jnp,
-              scalar-prefetched) drive a dynamic fori loop; the whole
-              triangle soup is VMEM-resident ([G, 8, 16] is ~0.5 KB/group,
-              so meshes up to ~32k faces fit comfortably), so candidate
-              sparsity costs no DMA at all.  Möller–Trumbore runs on
-              [8 faces, 128 rays] planes — faces on sublanes, rays on
-              lanes — sign-safe (no divide), 4 groups unrolled per
-              iteration with an all-invalid sentinel group absorbing the
-              tail (no per-group predication).
+              consecutive faces).  TWO-LEVEL per-block candidate lists
+              (swept-hull-vs-AABB slab broad phase, built in jnp,
+              scalar-prefetched) drive a dynamic fori loop: fine lists of
+              EIGHT-face groups (KA_MAX slots), with overflowing blocks
+              falling back to coarse 64-face-supergroup lists (KA2_MAX
+              slots, each entry expanding to 8 group tests) before the
+              full-soup scan of last resort.  The whole triangle soup is
+              VMEM-resident ([G, 8, 16] is ~0.5 KB/group; FUSED_FACE_CAP
+              = 64k faces ~ 4.2 MB), so candidate sparsity costs no DMA
+              at all.  Möller–Trumbore runs on [8 faces, 128 rays]
+              planes — faces on sublanes, rays on lanes — sign-safe (no
+              divide), 4 groups unrolled per iteration with all-invalid
+              sentinel groups absorbing the tails (no per-group
+              predication).
 
   splat       The per-ray contribution (shading precomputed in XLA;
               zeroed here for occluded rays) is binned into the source's
@@ -23,10 +27,14 @@ bin scatter at :204-235):
               with A2[p, r] = contrib_r * (bin_r // 128 == p) (built from
               ray rows) and B2[r, c] = (bin_r % 128 == c) (built from the
               transposed bin column) — an exact histogram, no scatter,
-              one MXU pass.  Rows accumulate into a VMEM-resident
-              [BS, 128] histogram block per source (blocks of one source
-              are consecutive, so the output block is revisited without
-              round-tripping HBM).
+              one MXU pass.  The page one-hot covers only a wp-page
+              WINDOW at a prefetched per-block 8-aligned base (one
+              block's rays span a few consecutive pages); out-of-window
+              rays are splatted exactly by an XLA residual pass, and
+              no-contribution blocks skip the splat.  Rows accumulate
+              into a VMEM-resident [BS, 128] histogram block per source
+              (blocks of one source are consecutive, so the output block
+              is revisited without round-tripping HBM).
 
 Compared with the v2 kernel (render/pallas_kernels.py, 512-ray x 128-face
 tiles, HBM-tiled): micro granularity cuts tested pairs ~6x (measured 233

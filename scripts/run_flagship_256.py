@@ -35,6 +35,7 @@ os.environ.setdefault("NLOS_MESH_DIR",
 import numpy as np
 
 WORKDIR = os.environ.get("WORKDIR", "/tmp/flagship256")
+RES = int(os.environ.get("RES", "256"))
 MAX_ITERS = int(os.environ.get("MAX_ITERS", "500"))
 GT_SAMPLES = int(os.environ.get("GT_SAMPLES", "200000"))
 V2_EVERY = int(os.environ.get("V2_EVERY", "1"))
@@ -66,7 +67,7 @@ def main():
             for f in __import__("dataclasses").fields(outer_loop.LoopConfig))
 
     state, hist = run_experiment(
-        "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=256,
+        "bunny", WORKDIR, max_iters=MAX_ITERS, scan_resolution=RES,
         gt_sample_num=GT_SAMPLES, resume=True, log=log)
     wall = time.time() - t0
 
@@ -74,7 +75,7 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     v2 = np.asarray(hist["v2"], np.float64)
     l2 = np.asarray(hist["l2_original"], np.float64)
-    np.savez(os.path.join(outdir, "flagship_bunny_256.npz"),
+    np.savez(os.path.join(outdir, f"flagship_bunny_{RES}.npz"),
              l2=np.asarray(hist["l2"]), l2_original=l2, v2=v2,
              final_v=state.v, final_f=state.f,
              iter_times=np.asarray(iter_times))
@@ -96,7 +97,7 @@ def main():
         if np.isfinite(v2).any() else None,
         "remesh_blocks": sum(1 for e in events if e.endswith("remesh")),
     }
-    with open(os.path.join(outdir, "flagship_256_summary.json"), "w") as fh:
+    with open(os.path.join(outdir, f"flagship_{RES}_summary.json"), "w") as fh:
         json.dump({**md_payload, "l2_curve": curve(l2),
                    "v2_curve": curve(v2)}, fh, indent=1)
     print(json.dumps(md_payload))
