@@ -68,22 +68,30 @@ SCENES = {
     "ggx": SceneSpec("ggx", mesh_file=_mesh("bunny"), brdf="ggx"),
     "noise": SceneSpec("noise", mesh_file=_mesh("bunny"), spad_noise=True),
     # real captures: 64x64 over [-0.35, 0.35], B=2048 (exp_s/test.py:20-36)
-    # exp_s/test.py:18,56,70: OPT(20000) samples, lr0 = 1e-4
+    # exp_s/test.py:18,56,70: OPT(20000) samples, lr0 = 1e-4.
+    # smooth_ratio DEVIATES from the committed OPT's 0.5 (exp_s/test.py:26)
+    # deliberately: measured on the real capture (scripts/diagnose_real.py
+    # + RESULTS.md), auto-lambda at ratio 0.5 makes the smoothing gradient
+    # 215x the data gradient (|sw*sgrad| 0.62 vs |g| 0.0029 at the init)
+    # and the loss RISES from iteration 0; the reference's committed
+    # exp_s/test.py cannot have produced its results as-is (it has syntax
+    # errors and references OPT fields it never defines).  300 balances
+    # the terms (~0.7x the data gradient) and the capture descends.
     "s": SceneSpec("s", kind="real", transient_file="transient.mat",
                    scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
                    num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
-                   smooth_ratio=0.5, sample_num=20_000, loss_epsilon=1e-5,
+                   smooth_ratio=300.0, sample_num=20_000, loss_epsilon=1e-5,
                    lr0=1e-4),
     "su": SceneSpec("su", kind="real", transient_file="transient.mat",
                     scan_lower=(-0.35, -0.35), scan_upper=(0.35, 0.35),
                     num_bins=2048, gamma=0.0, edge_lr_ratio=1.0,
-                    smooth_ratio=0.5, sample_num=20_000, loss_epsilon=1e-5,
+                    smooth_ratio=300.0, sample_num=20_000, loss_epsilon=1e-5,
                     lr0=1e-4),
     "mannequin": SceneSpec("mannequin", kind="real",
                            transient_file="transient.mat",
                            scan_lower=(-0.35, -0.35),
                            scan_upper=(0.35, 0.35), num_bins=2048,
-                           gamma=0.0, edge_lr_ratio=1.0, smooth_ratio=0.5,
+                           gamma=0.0, edge_lr_ratio=1.0, smooth_ratio=300.0,
                            sample_num=20_000, loss_epsilon=1e-5, lr0=1e-4),
 }
 
