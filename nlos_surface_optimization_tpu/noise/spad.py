@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SpadParams(NamedTuple):
@@ -119,16 +120,28 @@ def spad_model(key, transient_ideal, jitters_s, jitter_counts,
 
 def spad_noisy_transients(key, transients, jitters_s, jitter_counts,
                           params: SpadParams = SpadParams(),
-                          rescale: bool = True):
+                          rescale: bool = True,
+                          source_chunk: int = 16):
     """Apply the SPAD model to every scan point [L,B]; with rescale=True the
     counts are scaled back to the ideal energy / M (addNoiseExample.m:22-24:
-    spadModelScaled(...) / M * sum(transient))."""
+    spadModelScaled(...) / M * sum(transient)).
+
+    Sources are processed in chunks of `source_chunk`: the per-photon
+    intermediates are [M, B] per source (~1.5 GB per 16-source chunk at
+    the exp_noise scale M=20000, B=1200) — a single vmap over a full
+    4096-point scan would materialize ~400 GB.  One-time preprocessing,
+    so the chunk loop runs on the host."""
     transients = jnp.asarray(transients)
     L, B = transients.shape
     keys = jax.random.split(key, L)
-    out = jax.vmap(
-        lambda k, t: spad_model(k, t, jitters_s, jitter_counts, params)
-    )(keys, transients)
+    chunks = []
+    for s0 in range(0, L, source_chunk):
+        s1 = min(s0 + source_chunk, L)
+        part = jax.vmap(
+            lambda k, t: spad_model(k, t, jitters_s, jitter_counts, params)
+        )(keys[s0:s1], transients[s0:s1])
+        chunks.append(np.asarray(part))
+    out = jnp.asarray(np.concatenate(chunks, axis=0))
     if rescale:
         out = out / params.num_photons * transients.sum(axis=1, keepdims=True)
     return out
