@@ -50,6 +50,13 @@ def create_gt(spec: SceneSpec, gt_v: np.ndarray, gt_f: np.ndarray,
     lighting, lnormal = make_confocal_scan(
         res, lower=spec.scan_lower, upper=spec.scan_upper
     )
+    # Morton-order the GT mesh: every broad phase keys on spatially
+    # compact face tiles/groups; raw OBJ face order degrades the
+    # candidate lists to full scans (measured: 15x slower GT render on
+    # bunny_centered).  Face order only permutes sampling RNG and f32
+    # summation — the GT estimate is statistically identical.
+    from ..geometry.accel import morton_order_faces
+    gt_f = morton_order_faces(gt_v, gt_f)
     mesh = make_mesh(gt_v, gt_f)
     L = lighting.shape[0]
     shards = np.array_split(np.arange(L), num_shards)
